@@ -1,0 +1,137 @@
+"""The flagship pipeline: source-code corpus → RDF Turtle knowledge graph.
+
+End-to-end shape (SURVEY.md §3.4):
+
+    read corpus (repo, path, commit, lang, content)
+      → map_batches: content sha256 (per-row invariant, stateless)
+      → map_batches(actor pool): language mention → canonical entity
+      → map_batches: EmissionSpec triple emission (stateless, partial dedup)
+      → union: driver-built TBox triples (tiny)
+      → groupby(bucket): global exact triple dedup (the one wide shuffle)
+      → groupby(subject-hash pid): sorted Turtle shards + lineage manifests
+      → driver: used-prefix header
+
+Everything streams; the driver only ever sees per-partition stats.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.strings import check_iri, language_string
+from ..sources.corpus import add_content_sha256, corpus_from_documents
+from ..sources.vocab import build_vocab_bundle
+from ..stages.dedup import dedup_triples
+from ..stages.emit import EmissionSpec, Literal, emit_triples
+from ..stages.linker import link_column
+from ..stages.materialize import materialize_turtle
+
+
+def corpus_specs() -> tuple[EmissionSpec, ...]:
+    """Emission rules for the corpus table (the reference's per-sheet
+    emitters, §2.2, transplanted onto the corpus schema)."""
+    file_spec = EmissionSpec(
+        name="source_file",
+        subject_template="{repo} {path}",
+        subject_casing="delimited",
+        rdf_type=":SourceFile",
+        label_template="{path}",
+        literals=(
+            Literal(column="commit", predicate=":atCommit", kind="xsd:string"),
+            Literal(
+                column="content_sha256",
+                predicate=":hasContentSha256",
+                kind="xsd:string",
+            ),
+            Literal(column="repo", predicate=":belongsToRepo", kind="iri"),
+            Literal(column="lang_canonical", predicate=":hasLanguage", kind="iri",
+                    casing="PascalCase"),
+        ),
+    )
+    repo_spec = EmissionSpec(
+        name="repository",
+        subject_template="{repo}",
+        subject_casing="delimited",
+        rdf_type=":Repository",
+        label_template="{repo}",
+    )
+    return (file_spec, repo_spec)
+
+
+def tbox_triples(vocab: dict) -> pa.Table:
+    """Driver-built ontology-side triples (languages TBox + crosswalk
+    equivalences) — tiny, unioned into the ABox stream before dedup."""
+    subjs, preds, objs = [], [], []
+    langs = vocab["languages"]
+    for name in langs["by_index"].values():
+        iri = check_iri(name, "PascalCase")
+        subjs += [iri, iri]
+        preds += ["a", "rdfs:label"]
+        objs += [":Language", language_string(name)]
+        for curie in langs["equivalent"].get(name, []):
+            subjs.append(iri)
+            preds.append("rdfs:equivalentClass")
+            objs.append(check_iri(curie))
+    for cls in (":SourceFile", ":Repository", ":Language"):
+        subjs.append(cls)
+        preds.append("a")
+        objs.append("rdfs:Class")
+    return pa.table(
+        {
+            "subj": pa.array(subjs, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+        }
+    )
+
+
+def kg_triples(
+    corpus: ray.data.Dataset,
+    vocab: dict | None = None,
+    linker_concurrency=2,
+    dedup_buckets: int = 32,
+) -> ray.data.Dataset:
+    """corpus Dataset → deduplicated (subj, pred, obj) Dataset."""
+    vocab = vocab or build_vocab_bundle()
+    lang_ref = ray.put(vocab["languages"])
+
+    ds = add_content_sha256(corpus)
+    ds = link_column(
+        ds,
+        lang_ref,
+        column="lang",
+        out_col="lang_canonical",
+        unknown_value=None,  # unmatched languages simply emit no triple
+        concurrency=linker_concurrency,
+    )
+    triples = emit_triples(ds, corpus_specs())
+    triples = triples.union(ray.data.from_arrow(tbox_triples(vocab)))
+    return dedup_triples(triples, num_buckets=dedup_buckets)
+
+
+def kg_build(
+    corpus: ray.data.Dataset,
+    out_dir: str,
+    vocab: dict | None = None,
+    num_partitions: int = 16,
+    resume: bool = True,
+    **kwargs,
+) -> dict:
+    """Full build: triples + Turtle shards + manifests + header."""
+    vocab = vocab or build_vocab_bundle()
+    triples = kg_triples(corpus, vocab, **kwargs)
+    return materialize_turtle(
+        triples,
+        out_dir,
+        num_partitions=num_partitions,
+        resume=resume,
+        base_uri=vocab["base_uri"],
+        prefixes=vocab["prefixes"],
+    )
+
+
+def kg_from_documents(sf_dir: str, **kwargs) -> ray.data.Dataset:
+    """Convenience: testdata documents table → KG triples Dataset."""
+    return kg_triples(corpus_from_documents(sf_dir), **kwargs)

@@ -1,0 +1,321 @@
+"""Config-driven per-row triple emission (the EmissionSpec engine).
+
+The reference hand-unrolls ~45 instances of the same pattern — iterate a
+worksheet, mint a subject IRI, gate every cell against an exclude list,
+append (predicate, object) pairs, point-look-up FK columns against small
+lookup sheets (reference ``mhdb/ingest.py`` §2.2 of SURVEY.md; e.g. the
+papers emitter at ``mhdb/ingest.py:3150-3465``). We implement the pattern
+ONCE as a declarative :class:`EmissionSpec` executed inside
+``Dataset.map_batches`` over Arrow batches: one input row fans out to N
+triple rows ``(subj, pred, obj)``.
+
+Scale notes
+-----------
+- The emitter is embarrassingly parallel (pure function of the row +
+  static vocab): stateless tasks, no shuffle.
+- Lookup tables are broadcast once via ``ray.put`` and materialized per
+  worker in ``__init__`` (use ``concurrency=`` to get an actor pool), not
+  re-shipped per batch.
+- Per-batch partial dedup (a set) collapses intra-batch duplicate
+  triples before they hit the global dedup shuffle — the classic
+  partial/final aggregate split.
+- Dangling FKs do NOT crash (the reference raises IndexError,
+  ``mhdb/ingest.py:3192-3193``); they are quarantined as counted
+  ``:hasDanglingFK`` triples on the source subject so a 10^12-row run
+  survives and the loss is measurable.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..functions.strings import (
+    check_iri,
+    clean_string,
+    convert_string_to_label,
+    language_string,
+    typed_literal,
+)
+
+TRIPLE_SCHEMA = pa.schema(
+    [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
+)
+
+# Reference exclude_list semantics (mhdb/ingest.py:23-24): the sentinel
+# 'EmptyValue', empty string, the *strings* 'NaN'/'NAN'/'nan', real NaN
+# and None all suppress emission. Note the string "None" is NOT excluded
+# (quirk: ':None' objects appear in the golden output) — preserved.
+_EXCLUDED_STRINGS = frozenset({"EmptyValue", "", "NaN", "NAN", "nan"})
+
+
+def is_excluded(value) -> bool:
+    if value is None:
+        return True
+    if isinstance(value, float) and math.isnan(value):
+        return True
+    return isinstance(value, str) and value in _EXCLUDED_STRINGS
+
+
+def fk_keys(value) -> list[int] | None:
+    """Parse a scalar-or-comma-separated FK cell into int keys.
+
+    Reference pattern (mhdb/ingest.py:3185-3190): float/int → one-element
+    list; string → comma split, int() each non-empty piece. Returns None
+    for excluded cells, raises ValueError on garbage (caller quarantines).
+    """
+    if is_excluded(value):
+        return None
+    if isinstance(value, bool):
+        raise ValueError(f"bad FK cell: {value!r}")
+    if isinstance(value, (int, float)):
+        return [int(value)]
+    if isinstance(value, str):
+        return [int(x) for x in value.strip().split(",") if len(x) > 0]
+    raise ValueError(f"bad FK cell: {value!r}")
+
+
+@dataclass(frozen=True)
+class Literal:
+    """A literal-ish column emission.
+
+    kind:
+      - ``"lang"``      → ``\"\"\"value\"\"\"@lang`` (language_string)
+      - ``"xsd:*"``     → typed literal, e.g. ``"xsd:anyURI"``
+      - ``"iri"``       → run the value through check_iri (CURIE/label)
+    split: explode the cell on this delimiter first (alias /
+      equivalentClasses columns, reference mhdb/ingest.py:1373-1391).
+    """
+
+    column: str
+    predicate: str
+    kind: str = "lang"
+    lang: str = "en"
+    casing: str = "delimited"
+    truncate: int | None = None
+    split: str | None = None
+
+    def render(self, value) -> list[str]:
+        if is_excluded(value):
+            return []
+        parts = [value]
+        if self.split is not None and isinstance(value, str):
+            parts = [x.strip() for x in value.strip().split(self.split) if len(x) > 0]
+        out = []
+        for part in parts:
+            if is_excluded(part):
+                continue
+            if self.truncate is not None and isinstance(part, str):
+                part = part[: self.truncate]
+            if self.kind == "lang":
+                out.append(language_string(part, self.lang))
+            elif self.kind == "iri":
+                out.append(check_iri(part, self.casing))
+            else:
+                out.append(typed_literal(part, self.kind))
+        return out
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    """An index-keyed lookup column emission (broadcast hash join).
+
+    ``lookup`` names a ``{int: str}`` dict in the emitter's lookup
+    bundle; each resolved value is minted with ``casing`` (or formatted
+    as a typed literal when ``as_literal`` is set)."""
+
+    column: str
+    predicate: str
+    lookup: str
+    casing: str = "PascalCase"
+    as_literal: str | None = None
+
+
+@dataclass(frozen=True)
+class EmissionSpec:
+    """One table-to-triples emission rule (≈ one reference emitter)."""
+
+    name: str
+    subject_template: str  # str.format over row columns, e.g. "{repo} {path}"
+    subject_casing: str = "PascalCase"
+    subject_truncate: int | None = None
+    rdf_type: str | None = None
+    label_template: str | None = None  # lang-string label; None = no label
+    statics: tuple[tuple[str, str], ...] = ()
+    literals: tuple[Literal, ...] = ()
+    fks: tuple[ForeignKey, ...] = ()
+
+    def columns(self) -> set[str]:
+        import string as _string
+
+        fmt = _string.Formatter()
+        cols = {f[1] for f in fmt.parse(self.subject_template) if f[1]}
+        if self.label_template:
+            cols |= {f[1] for f in fmt.parse(self.label_template) if f[1]}
+        cols |= {lit.column for lit in self.literals}
+        cols |= {fk.column for fk in self.fks}
+        return cols
+
+
+class TripleEmitter:
+    """``map_batches`` callable: Arrow batch in → (subj, pred, obj) out.
+
+    Pass the class itself with ``fn_constructor_kwargs`` and
+    ``concurrency=N`` for an actor pool when lookups are large; with a
+    plain instance it runs as stateless tasks (closure-captured specs).
+    """
+
+    def __init__(self, specs, lookups_ref=None, quarantine: bool = True):
+        self.specs = tuple(specs)
+        if lookups_ref is None:
+            self.lookups = {}
+        else:
+            import ray
+
+            obj = lookups_ref
+            self.lookups = ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
+        self.quarantine = quarantine
+        import string as _string
+
+        fmt = _string.Formatter()
+        self._subject_fields = {
+            spec.name: [f[1] for f in fmt.parse(spec.subject_template) if f[1]]
+            for spec in self.specs
+        }
+        self._label_fields = {
+            spec.name: [f[1] for f in fmt.parse(spec.label_template) if f[1]]
+            if spec.label_template
+            else []
+            for spec in self.specs
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subjs: list[str] = []
+        preds: list[str] = []
+        objs: list[str] = []
+        seen: set[tuple[str, str, str]] = set()
+
+        def emit(s: str, p: str, o: str) -> None:
+            if is_excluded(s) or is_excluded(p) or is_excluded(o):
+                return
+            t = (s, p, o)
+            if t not in seen:
+                seen.add(t)
+                subjs.append(s)
+                preds.append(p)
+                objs.append(o)
+
+        for spec in self.specs:
+            needed = [c for c in spec.columns() if c in batch.column_names]
+            cols = {c: batch.column(c).to_pylist() for c in needed}
+            n = batch.num_rows
+            for i in range(n):
+                row = {c: cols[c][i] for c in needed}
+                self._emit_row(spec, row, emit)
+
+        return pa.table(
+            {
+                "subj": pa.array(subjs, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+            }
+        )
+
+    def _emit_row(self, spec: EmissionSpec, row: dict, emit) -> None:
+        # Gate the RAW cells feeding the subject (reference checks the cell
+        # against exclude_list before any formatting — a Python None must
+        # not leak in as the string "None"; only a literal "None" cell
+        # keeps the golden ':None' quirk).
+        if any(is_excluded(row.get(f)) for f in self._subject_fields[spec.name]):
+            return
+        try:
+            raw_subject = spec.subject_template.format(**row)
+        except (KeyError, IndexError):
+            return
+        if is_excluded(raw_subject):
+            return
+        raw_subject = raw_subject.strip()
+        if not raw_subject:
+            return
+        if spec.subject_truncate is not None:
+            raw_subject = raw_subject[: spec.subject_truncate]
+        subject = check_iri(raw_subject, spec.subject_casing)
+
+        if spec.rdf_type is not None:
+            emit(subject, "a", spec.rdf_type)
+        if spec.label_template is not None:
+            if not any(
+                is_excluded(row.get(f)) for f in self._label_fields[spec.name]
+            ):
+                raw_label = spec.label_template.format(**row)
+                if not is_excluded(raw_label) and raw_label.strip():
+                    emit(subject, "rdfs:label", language_string(raw_label))
+        for pred, obj in spec.statics:
+            emit(subject, pred, obj)
+        for lit in spec.literals:
+            for obj in lit.render(row.get(lit.column)):
+                emit(subject, lit.predicate, obj)
+        for fk in spec.fks:
+            self._emit_fk(spec, subject, fk, row.get(fk.column), emit)
+
+    def _emit_fk(self, spec, subject, fk: ForeignKey, cell, emit) -> None:
+        table = self.lookups.get(fk.lookup, {})
+        try:
+            keys = fk_keys(cell)
+        except ValueError:
+            if self.quarantine:
+                emit(
+                    subject,
+                    ":hasDanglingFK",
+                    typed_literal(f"{fk.column}={cell}", "xsd:string"),
+                )
+            return
+        if keys is None:
+            return
+        for key in keys:
+            value = table.get(key)
+            if value is None:
+                # Reference crashes here (IndexError via .values[0]); we
+                # quarantine + count instead (SURVEY.md §7.4).
+                if self.quarantine:
+                    emit(
+                        subject,
+                        ":hasDanglingFK",
+                        typed_literal(f"{fk.column}={key}", "xsd:string"),
+                    )
+                continue
+            if not isinstance(value, str):
+                continue  # reference: isinstance(objectRDF, str) gate
+            if fk.as_literal is not None:
+                emit(subject, fk.predicate, typed_literal(value, fk.as_literal))
+            else:
+                emit(subject, fk.predicate, check_iri(value, fk.casing))
+
+
+def emit_triples(ds, specs, lookups=None, concurrency=None, batch_size=4096, **kwargs):
+    """Attach the emission stage to a Dataset → triples Dataset.
+
+    ``lookups``: plain dict (closure-captured; fine when small) or a
+    ``ray.ObjectRef`` from ``ray.put`` (broadcast once; use with
+    ``concurrency`` so each actor deserializes once in ``__init__``).
+    """
+    if concurrency is not None:
+        return ds.map_batches(
+            TripleEmitter,
+            fn_constructor_kwargs={"specs": tuple(specs), "lookups_ref": lookups},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            **kwargs,
+        )
+    emitter = TripleEmitter(specs, lookups)
+    return ds.map_batches(
+        emitter,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        **kwargs,
+    )

@@ -1,0 +1,38 @@
+"""Deterministic in-group ordinal enumeration.
+
+The reference keeps a running per-questionnaire question counter whose
+value feeds the subject IRI (``{questionnaire}_Q{n}``, reference
+``mhdb/ingest.py:2125-2140``) — order-sensitive driver-loop state. Under
+parallelism that must NOT depend on block arrival order, so it becomes a
+``groupby(key).map_groups`` with a stable in-group sort on an explicit
+ordinal column (carried from the source), exactly as SURVEY.md §2.3 ST2
+prescribes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def enumerate_in_groups(
+    ds,
+    group_key: str,
+    order_by: list[str],
+    out_col: str = "ordinal",
+    start: int = 1,
+):
+    """Append ``out_col`` = 1-based rank within ``group_key`` ordered by
+    ``order_by`` (a deterministic total order — include a unique
+    tiebreaker column).
+
+    This is a shuffle on ``group_key``; group size must fit a worker
+    (true for per-questionnaire/per-user groups; salt or window by range
+    if a key ever exceeds block size).
+    """
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        g[out_col] = range(start, start + len(g))
+        return g
+
+    return ds.groupby(group_key).map_groups(rank, batch_format="pandas")

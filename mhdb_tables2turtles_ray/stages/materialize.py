@@ -1,0 +1,189 @@
+"""Graph materialization: sorted per-partition Turtle shards + header.
+
+Reference semantics: ``turtle_from_dict`` renders one block per subject
+(``pred obj`` pairs joined with `` ;\\n\\t``, blocks joined with blank
+lines, terminated `` .`` — ``mhdb/write_ttl.py:263-324``); the header is
+PREFIX lines for the *used* prefixes plus an ``owl:Ontology`` block
+(``mhdb/write_ttl.py:387-492``, ``mhdb/create_mhdb:390-396``). The
+reference builds ONE string for the whole graph in driver memory; we
+render per-partition shards inside the cluster and only ship tiny
+per-partition stats to the driver.
+
+Partitioning: ``pid = hash(subj) % P`` so one subject never splits
+across shards (deterministic → resumable; see state/manifest.py). A
+pathological subject with millions of triples would bound a partition
+from below — bump P or special-case such subjects; triple-hash salting
+is NOT usable here because rendering needs whole subjects co-located.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.manifest import completed_partitions, write_partition_atomic
+from .prefixes import _batch_prefixes
+
+
+def subject_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
+    h = pd.util.hash_array(np.asarray(batch.column("subj").to_pylist(), dtype=object))
+    pid = (h % num_partitions).astype(np.int64)
+    return batch.append_column("pid", pa.array(pid, pa.int64()))
+
+
+def render_turtle_blocks(table: pa.Table) -> str:
+    """Render a (subj, pred, obj) table as deterministic Turtle text.
+
+    Sorted by (subj, pred, obj) — the reference's output order is dict /
+    set-iteration order (not stable run-to-run); sorting makes our shards
+    byte-deterministic while preserving the identical triple SET.
+    """
+    table = table.sort_by(
+        [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+    )
+    subjs = table.column("subj").to_pylist()
+    preds = table.column("pred").to_pylist()
+    objs = table.column("obj").to_pylist()
+    blocks: list[str] = []
+    pairs: list[str] = []
+    current = None
+    for s, p, o in zip(subjs, preds, objs):
+        if s != current:
+            if pairs:
+                blocks.append("{} {} .".format(current, " ;\n\t".join(pairs)))
+            current, pairs = s, []
+        pairs.append(f"{p} {o}")
+    if pairs:
+        blocks.append("{} {} .".format(current, " ;\n\t".join(pairs)))
+    return "\n\n".join(blocks)
+
+
+# Fixed preamble, byte-identical to the reference's (mhdb/create_mhdb:
+# 390-394) including its quirky 2009 xsd namespace URL.
+FIXED_PREAMBLE = (
+    "PREFIX owl: <http://www.w3.org/2002/07/owl#> \n"
+    "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> \n"
+    "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> \n"
+    "PREFIX xsd: <https://www.w3.org/2009/XMLSchema/XMLSchema#> \n"
+)
+
+
+def write_header(
+    base_uri: str,
+    version: str,
+    label: str,
+    comment: str,
+    prefixes: list[tuple[str, str]],
+    used: set[str] | None = None,
+) -> str:
+    """Header text: PREFIX lines (filtered to used prefixes when given),
+    base prefix, and the owl:Ontology block — reference
+    ``write_header_prefixes`` / ``write_header`` formats."""
+    lines = FIXED_PREAMBLE
+    for pfx, iri in prefixes:
+        if used is not None and pfx not in used:
+            continue
+        lines += f"PREFIX {pfx}: <{iri}> \n"
+    lines += f"\nPREFIX : <{base_uri}#> \n"
+    return (
+        f"{lines}<{base_uri}> a owl:Ontology ;\n"
+        f"    owl:versionIRI <{base_uri}/{version}> ;\n"
+        f'    owl:versionInfo "{version}"^^rdfs:Literal ;\n'
+        f'    rdfs:label "{label}"^^rdfs:Literal ;\n'
+        f'    rdfs:comment """{comment}"""@en .\n\n'
+    )
+
+
+def materialize_turtle(
+    triples,
+    out_dir: str,
+    num_partitions: int = 16,
+    resume: bool = True,
+    base_uri: str = "http://w3id.org/graft/kg",
+    version: str = "0.1.0",
+    label: str = "graft-kg",
+    comment: str = "Ray-Data-native KG build",
+    prefixes: list[tuple[str, str]] | None = None,
+) -> dict:
+    """Write per-partition Turtle shards + lineage manifests + header.
+
+    Returns a summary: per-partition stats (tiny — one row per
+    partition), skipped partition ids, and totals. Assumes ``out_dir``
+    is shared storage when run multi-node.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir, num_partitions) if resume else set()
+    pending = frozenset(range(num_partitions)) - done
+
+    def assign(batch: pa.Table) -> pa.Table:
+        batch = subject_partition(batch, num_partitions)
+        if len(pending) < num_partitions:
+            mask = pa.array([p in pending for p in batch.column("pid").to_pylist()])
+            batch = batch.filter(mask)
+        return batch
+
+    def render_and_write(group: pa.Table) -> pa.Table:
+        pid = int(group.column("pid")[0].as_py())
+        body = group.select(["subj", "pred", "obj"])
+        text = render_turtle_blocks(body)
+        pfx = _batch_prefixes(body).column("prefix").to_pylist()
+        n_subjects = len(body.group_by(["subj"]).aggregate([]))
+        manifest = write_partition_atomic(
+            out_dir,
+            pid,
+            text,
+            {"n_triples": body.num_rows, "n_subjects": n_subjects, "prefixes": pfx},
+        )
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int64()),
+                "n_triples": pa.array([body.num_rows], pa.int64()),
+                "n_subjects": pa.array([n_subjects], pa.int64()),
+                "bytes": pa.array([manifest["bytes"]], pa.int64()),
+                "prefixes": pa.array([pfx], pa.list_(pa.string())),
+            }
+        )
+
+    stats_ds = (
+        triples.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pid")
+        .map_groups(render_and_write, batch_format="pyarrow")
+    )
+    stats = stats_ds.take_all()  # one small row per partition
+
+    used: set[str] = set()
+    for row in stats:
+        used.update(row["prefixes"])
+    # merge prefixes recorded by previously-completed partitions
+    import json
+
+    from ..state.manifest import manifest_path
+
+    for pid in done:
+        try:
+            with open(manifest_path(out_dir, pid)) as f:
+                used.update(json.load(f).get("prefixes", []))
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    registry = prefixes
+    if registry is None:
+        from ..sources.vocab import PREFIXES
+
+        registry = PREFIXES
+    header = write_header(base_uri, version, label, comment, registry, used)
+    with open(os.path.join(out_dir, "header.ttl"), "w") as f:
+        f.write(header)
+
+    return {
+        "out_dir": out_dir,
+        "num_partitions": num_partitions,
+        "skipped": sorted(done),
+        "written": sorted(int(r["pid"]) for r in stats),
+        "n_triples": int(sum(r["n_triples"] for r in stats)),
+        "n_subjects": int(sum(r["n_subjects"] for r in stats)),
+        "used_prefixes": sorted(used),
+    }

@@ -1,0 +1,79 @@
+"""Per-partition lineage manifests + checkpointed resume.
+
+The reference reruns from scratch on any failure (no checkpointing,
+SURVEY.md §4); at 10^12-file scale output must be resumable. Layout:
+
+    out_dir/
+      part-00007.ttl             # one shard per deterministic partition id
+      _manifests/part-00007.json # written AFTER the data file, atomically
+
+A partition is "done" iff its manifest exists, parses, and the sha256 it
+records matches the data file on disk. Writers write to a temp name in
+the same directory and ``os.rename`` (atomic on POSIX) — data file
+first, manifest last — so a killed run can never leave a manifest for a
+partial shard. On resume the driver skips done partitions entirely (the
+filter happens before the shuffle, so finished work costs nothing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+
+def manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, "_manifests", f"part-{pid:05d}.json")
+
+
+def data_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"part-{pid:05d}.ttl")
+
+
+def partition_done(out_dir: str, pid: int) -> bool:
+    mpath = manifest_path(out_dir, pid)
+    dpath = data_path(out_dir, pid)
+    if not (os.path.exists(mpath) and os.path.exists(dpath)):
+        return False
+    try:
+        with open(mpath) as f:
+            meta = json.load(f)
+        with open(dpath, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        return meta.get("sha256") == digest
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def completed_partitions(out_dir: str, num_partitions: int) -> set[int]:
+    return {p for p in range(num_partitions) if partition_done(out_dir, p)}
+
+
+def write_partition_atomic(out_dir: str, pid: int, text: str, meta: dict) -> dict:
+    """Write one shard + its manifest atomically; returns the manifest."""
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    payload = text.encode("utf-8")
+    digest = hashlib.sha256(payload).hexdigest()
+
+    dpath = data_path(out_dir, pid)
+    tmp = dpath + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, dpath)
+
+    manifest = {
+        "pid": pid,
+        "sha256": digest,
+        "bytes": len(payload),
+        **meta,
+    }
+    mpath = manifest_path(out_dir, pid)
+    tmp = mpath + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, mpath)
+    return manifest
