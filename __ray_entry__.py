@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then ``entry()`` as a smoke check,
+then runs each ``queries()[name](sf_dir)`` at sf=0.01 against the
+matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
+order-insensitive value-hash). Nothing here (or in the library) calls
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name / value-determinism conventions used throughout:
+- every computed column is explicitly named identically in the Ray
+  pipeline and the SQL;
+- floating-point aggregates are rounded at the output boundary (sum
+  order differs between engines); pure int/string results are exact;
+- cosine similarities are computed in float64 on both sides
+  (``CAST(embedding AS DOUBLE[])`` in SQL) and rounded to 6 decimals.
 """
 
 from __future__ import annotations
@@ -18,27 +20,254 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMALL = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: corpus-shaped Dataset from sf0.001 documents →
+    sha256 invariant → linker actor pool → EmissionSpec triple emission →
+    global dedup shuffle → (subj, pred, obj) Dataset."""
+    from mhdb_tables2turtles_ray.pipelines.kg import kg_from_documents
+
+    return kg_from_documents(SF_SMALL)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mhdb_tables2turtles_ray.pipelines import dedup as dd
+    from mhdb_tables2turtles_ray.pipelines import kg as kg
+    from mhdb_tables2turtles_ray.pipelines import kg_queries as kq
+    from mhdb_tables2turtles_ray.pipelines import multimodal as mm
+    from mhdb_tables2turtles_ray.pipelines import relational as rel
+    from mhdb_tables2turtles_ray.pipelines import similarity as sim
+    from mhdb_tables2turtles_ray.pipelines import text as tx
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- KG construction (SURVEY.md §2) ---
+        "kg_doc_triples": kq.doc_triples,
+        "kg_doc_prefixes": kq.doc_prefixes,
+        "kg_subject_degree": kq.subject_degree,
+        "kg_entity_link_lang": kq.entity_link_lang,
+        "kg_doc_sha256": kq.doc_sha256,
+        "kg_flagship_corpus": kg.kg_from_documents,  # rows-only (sha1 commits)
+        # --- dedup family ---
+        "dedup_exact": dd.exact_dedup,
+        "dedup_minhash_lsh": dd.minhash_lsh_pairs,  # rows-only (sketch)
+        "dedup_simhash": dd.simhash_pairs,  # rows-only (sketch)
+        "dedup_jaccard_subset": dd.jaccard_pairs_subset,
+        "dedup_embedding_cosine": dd.embedding_near_dup,
+        # --- similarity search ---
+        "ann_topk": sim.ann_topk,
+        "ann_ivf": sim.ann_ivf,  # rows-only (approximate by construction)
+        # --- text analysis ---
+        "text_token_counts": tx.token_counts,
+        "text_quality": tx.quality_scores,
+        "text_lang_id": tx.lang_id,
+        "text_fingerprint": tx.fingerprints,
+        "text_winnow": tx.winnow_fingerprints,  # rows-only (rolling hash)
+        # --- multimodal plumbing ---
+        "mm_payload_meta": mm.payload_meta,
+        "mm_frame_sample": mm.frame_sample,
+        # --- relational operator families ---
+        "rel_pricing_summary": rel.pricing_summary,
+        "rel_revenue_by_nation": rel.revenue_by_nation,
+        "rel_topk_orders": rel.topk_orders,
+        "rel_filter_project": rel.filter_project_revenue,
+        "rel_distinct_event_types": rel.distinct_event_types,
+        "rel_events_enumerate": rel.events_enumerate,
+        "rel_sessionize": rel.sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mhdb_tables2turtles_ray.pipelines.kg_queries import (
+        DOC_TRIPLES_SQL,
+        LANG_CASE_SQL,
+    )
+
+    tokens = "regexp_extract_all(text, '\\S+')"
+    stop_hits = f"len(list_filter({tokens}, x -> x IN ('the', 'a')))"
+    hits_en = stop_hits
+    hits_de = f"len(list_filter({tokens}, x -> x IN ('der', 'die', 'das')))"
+    hits_fr = f"len(list_filter({tokens}, x -> x IN ('le', 'la', 'les')))"
+    octet = "octet_length(encode(text))"
+
+    return {
+        "kg_doc_triples": DOC_TRIPLES_SQL,
+        "kg_doc_prefixes": f"""
+            WITH triples AS ({DOC_TRIPLES_SQL}),
+            vals AS (
+              SELECT subj AS v FROM triples
+              UNION ALL SELECT pred FROM triples
+              UNION ALL SELECT obj FROM triples
+            )
+            SELECT DISTINCT split_part(v, ':', 1) AS prefix FROM vals
+            WHERE contains(v, ':') AND NOT contains(v, '://')
+              AND NOT starts_with(v, '"') AND split_part(v, ':', 1) <> ''
+        """,
+        "kg_subject_degree": f"""
+            WITH triples AS ({DOC_TRIPLES_SQL})
+            SELECT subj, CAST(count(*) AS BIGINT) AS degree
+            FROM triples GROUP BY subj
+        """,
+        "kg_entity_link_lang": f"""
+            SELECT doc_id, COALESCE({LANG_CASE_SQL}, 'UNKNOWN') AS canonical
+            FROM documents
+        """,
+        "kg_doc_sha256": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard_subset": """
+            WITH d AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+              FROM documents WHERE doc_id < 300
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                     AS jaccard
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+        """,
+        "dedup_embedding_cosine": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 100
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6)
+                     AS cosine
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id > q.query_id
+            )
+            SELECT query_id, vec_id, cosine FROM s WHERE cosine >= 0.3
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                     ) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+                   round(sim, 6) AS cosine
+            FROM r WHERE rank <= 5
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id, CAST(len({tokens}) AS BIGINT) AS n_tokens FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_text,
+                   CAST(len({tokens}) AS BIGINT) AS n_tokens,
+                   CAST({stop_hits} AS BIGINT) AS stop_hits,
+                   CASE WHEN len({tokens}) > 0
+                        THEN CAST({stop_hits} AS DOUBLE) / len({tokens})
+                        ELSE 0.0 END AS stop_ratio
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN {hits_en} >= {hits_de} AND {hits_en} >= {hits_fr}
+                          AND {hits_en} > 0 THEN 'en'
+                     WHEN {hits_de} >= {hits_fr} AND {hits_de} > 0 THEN 'de'
+                     WHEN {hits_fr} > 0 THEN 'fr'
+                     ELSE 'unknown'
+                   END AS predicted_lang
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "mm_payload_meta": f"""
+            SELECT doc_id,
+                   CAST({octet} AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256,
+                   CAST({octet} % 640 AS BIGINT) AS width,
+                   CAST(({octet} * 7) % 480 AS BIGINT) AS height
+            FROM documents
+        """,
+        "mm_frame_sample": f"""
+            SELECT doc_id,
+                   CAST(({octet} + 63) // 64 AS BIGINT) AS n_frames,
+                   CAST((({octet} + 63) // 64 + 3) // 4 AS BIGINT) AS n_sampled
+            FROM documents
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "rel_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "rel_filter_project": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        "rel_distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "rel_events_enumerate": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS ordinal
+            FROM events
+        """,
+        "rel_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                          )) > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_id,
+                     CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) + 1 AS BIGINT) AS session_id
+              FROM e
+            )
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(event_id) AS first_event_id
+            FROM s GROUP BY user_id, session_id
+        """,
+    }

@@ -1,0 +1,351 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Exact + the near-dup family a training-data pipeline needs: MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine. The scalable shape shared by
+the sketch-based ops is ONE shuffle, no joins:
+
+    map_batches: signature per doc → explode to (bucket, doc_id, sig)
+    → groupby(bucket): pairwise check within bucket → candidate pairs
+    → groupby(pair): global pair dedup
+
+Signatures ride along in the bucket rows (bands × sig bytes per doc)
+instead of a second join-shuffle back to the corpus — a deliberate
+space-for-shuffle trade documented per op.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min
+
+from ..functions.numeric import round_half_away
+from ..sources.tables import read_table
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes (no PYTHONHASHSEED dependence)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup by content hash: keep the smallest doc_id per distinct
+    text. Hash-partition groupby on the digest (uniform — no skew), with
+    the heavy ``text`` column dropped before the shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text_md5": pa.array(keys)}
+        )
+
+    return (
+        ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+def _shingles(text: str, k: int) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+class MinHasher:
+    """Actor-pool signature stage: permutation params built once."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, bands: int = 16):
+        rng = np.random.RandomState(7)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text or "", self.k)
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = _stable_hash64(sh)  # (n_shingles,)
+        # (num_perm, n_shingles) permuted hashes, min over shingles
+        ph = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
+        return ph.min(axis=1).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """doc batch → exploded (bucket_band, bucket_hash, doc_id, sig)."""
+        ids = batch.column("doc_id").to_pylist()
+        doc_col, band_col, bhash_col, sig_col = [], [], [], []
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            sig = self.signature(text)
+            sig_list = sig.tolist()
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                bh = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
+                )
+                doc_col.append(doc_id)
+                band_col.append(band)
+                bhash_col.append(bh)
+                sig_col.append(sig_list)
+        return pa.table(
+            {
+                "band": pa.array(band_col, pa.int32()),
+                "band_hash": pa.array(bhash_col, pa.uint64()),
+                "doc_id": pa.array(doc_col, pa.int64()),
+                "sig": pa.array(sig_col, pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    Output (doc_a, doc_b, est_jaccard): candidate pairs sharing ≥1 LSH
+    bucket whose signature-estimated Jaccard ≥ ``threshold``. Estimated
+    (not exact) Jaccard is the standard at-scale verify — it avoids
+    shipping shingle sets through a second join. Buckets larger than
+    ``max_bucket`` are truncated (sorted by doc_id) — a skew guard
+    against degenerate buckets going quadratic; truncation is visible in
+    the bucket stats, not silent data loss of the corpus itself.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    exploded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "shingle_k": shingle_k,
+            "bands": bands,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
+            )
+        group = group.sort_values("doc_id").head(max_bucket)
+        ids = group["doc_id"].to_numpy()
+        sigs = np.stack(group["sig"].to_numpy())  # (n, num_perm)
+        a_idx, b_idx, est = [], [], []
+        for i in range(len(ids)):
+            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            hit = np.nonzero(eq >= threshold)[0]
+            for j in hit:
+                a_idx.append(ids[i])
+                b_idx.append(ids[i + 1 + j])
+                est.append(float(eq[j]))
+        return pd.DataFrame(
+            {"doc_a": a_idx, "doc_b": b_idx, "est_jaccard": est}
+        ).astype({"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # global pair dedup (same pair found in multiple bands)
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+    )
+
+
+class SimHasher:
+    """64-bit SimHash signature stage (token-frequency weighted)."""
+
+    def __init__(self, band_bits: int = 16):
+        self.band_bits = band_bits
+        self.n_bands = 64 // band_bits
+
+    def simhash(self, text: str) -> int:
+        toks = (text or "").split()
+        if not toks:
+            return 0
+        h = _stable_hash64(toks)  # (n,)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        band_col, key_col, doc_col, sig_col = [], [], [], []
+        mask = (1 << self.band_bits) - 1
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            sig = self.simhash(text)
+            for band in range(self.n_bands):
+                band_col.append(band)
+                key_col.append((sig >> (band * self.band_bits)) & mask)
+                doc_col.append(doc_id)
+                sig_col.append(sig)
+        return pa.table(
+            {
+                "band": pa.array(band_col, pa.int32()),
+                "band_key": pa.array(key_col, pa.uint64()),
+                "doc_id": pa.array(doc_col, pa.int64()),
+                "sig": pa.array(sig_col, pa.uint64()),
+            }
+        )
+
+
+def simhash_pairs(
+    sf_dir: str, band_bits: int = 16, hamming_max: int = 3, max_bucket: int = 200
+) -> ray.data.Dataset:
+    """Near-dup pairs via SimHash banding: docs sharing any 16-bit band
+    are candidates; verified by Hamming distance ≤ ``hamming_max``."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    exploded = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"band_bits": band_bits},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        if len(group) >= 2:
+            group = group.sort_values("doc_id").head(max_bucket)
+            ids = group["doc_id"].to_numpy()
+            sigs = group["sig"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = sigs[i + 1 :] ^ sigs[i]
+                d = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(d <= hamming_max)[0]:
+                    out["doc_a"].append(int(ids[i]))
+                    out["doc_b"].append(int(ids[i + 1 + j]))
+                    out["hamming"].append(int(d[j]))
+        return pd.DataFrame(out).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+
+    pairs = exploded.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+def jaccard_pairs_subset(
+    sf_dir: str, max_doc_id: int = 300, threshold: float = 0.8
+) -> ray.data.Dataset:
+    """Exact unigram-set Jaccard pairs on a bounded doc_id subset.
+
+    The bounded side (< ``max_doc_id`` rows) is collected and broadcast
+    (``ray.put``), then each task compares its batch against the
+    broadcast sets — a broadcast self-join, no shuffle. This is the
+    oracle-checkable exact variant; the unbounded-scale path is
+    :func:`minhash_lsh_pairs`.
+    """
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    subset = ds.filter(expr=f"doc_id < {max_doc_id}")
+    rows = subset.take_all()  # bounded by construction
+    sets = {r["doc_id"]: set((r["text"] or "").split(" ")) for r in rows}
+    sets_ref = ray.put(sets)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_sets = ray.get(sets_ref)
+        out_a, out_b, out_j = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if doc_id >= max_doc_id:
+                continue
+            s = set((text or "").split(" "))
+            for other_id, other in all_sets.items():
+                if other_id <= doc_id:
+                    continue
+                inter = len(s & other)
+                union = len(s | other)
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(doc_id)
+                    out_b.append(other_id)
+                    out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_near_dup(
+    sf_dir: str, max_query_id: int = 100, threshold: float = 0.3
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup: pairs (query_id < ``max_query_id``,
+    any vec_id > query_id) with cosine ≥ ``threshold``.
+
+    The bounded query block is broadcast as a dense float64 matrix; each
+    task runs one matmul per batch (vectorized, zero shuffle). Cosine is
+    rounded to 6 decimals so the value is FP-stable cross-engine.
+    """
+    import ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = ds.filter(expr=f"vec_id < {max_query_id}").take_all()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    ref = ray.put((qids, qmat))
+
+    def sims(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(ref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        cos = round_half_away(emb @ mat_q.T, 6)  # round BEFORE the threshold so
+        # membership is FP-stable cross-engine (oracle filters rounded too)
+        out_q, out_v, out_c = [], [], []
+        hit_rows, hit_cols = np.nonzero(cos >= threshold)
+        for r, c in zip(hit_rows, hit_cols):
+            if vids[r] <= ids_q[c]:
+                continue  # dedup ordering + self-match
+            out_q.append(int(ids_q[c]))
+            out_v.append(int(vids[r]))
+            out_c.append(float(cos[r, c]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(sims, batch_format="pyarrow", zero_copy_batch=True)

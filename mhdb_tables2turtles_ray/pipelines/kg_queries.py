@@ -1,0 +1,128 @@
+"""KG-construction queries over the ``documents`` testdata table.
+
+These run the REAL engine stages (EmissionSpec emitter, linker actor
+pool, dedup shuffle, prefix aggregation) on inputs whose minting results
+are also expressible in ANSI SQL — putting triple emission itself under
+the driver's DuckDB value-hash gate. The flagship corpus pipeline (sha1
+commits, reference-exact quirks) is checked by the reference-semantics
+oracle in tests instead (not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources.tables import read_table
+from ..sources.vocab import language_vocab
+from ..stages.dedup import dedup_triples
+from ..stages.emit import EmissionSpec, Literal, emit_triples
+from ..stages.linker import link_column
+from ..stages.prefixes import used_prefixes
+
+
+def _doc_spec() -> EmissionSpec:
+    return EmissionSpec(
+        name="document",
+        subject_template="Doc {doc_id}",
+        subject_casing="delimited",
+        rdf_type=":Document",
+        label_template="{source}",
+        literals=(
+            Literal(column="source", predicate=":fromSource", kind="iri"),
+            Literal(
+                column="lang_canonical",
+                predicate=":hasLanguage",
+                kind="iri",
+                casing="PascalCase",
+            ),
+            Literal(column="n_chars", predicate=":hasNChars", kind="xsd:int"),
+        ),
+    )
+
+
+def doc_triples(sf_dir: str) -> ray.data.Dataset:
+    """documents → deduplicated (subj, pred, obj) via the real engine."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    ds = link_column(
+        ds, ray.put(language_vocab()), column="lang", out_col="lang_canonical",
+        concurrency=2,
+    )
+    triples = emit_triples(ds, [_doc_spec()])
+    return dedup_triples(triples, num_buckets=16)
+
+
+def doc_prefixes(sf_dir: str) -> ray.data.Dataset:
+    """Distinct CURIE prefixes used by doc_triples (header aggregation)."""
+    prefixes = used_prefixes(doc_triples(sf_dir))
+    return ray.data.from_arrow(pa.table({"prefix": pa.array(prefixes, pa.string())}))
+
+
+def subject_degree(sf_dir: str) -> ray.data.Dataset:
+    """(subj, degree) — triple fan-out per subject (skew observability)."""
+    from ray.data.aggregate import Count
+
+    return doc_triples(sf_dir).groupby("subj").aggregate(Count(alias_name="degree"))
+
+
+def entity_link_lang(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, canonical) — the linker actor pool over documents.lang."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = link_column(
+        ds,
+        ray.put(language_vocab()),
+        column="lang",
+        out_col="canonical",
+        unknown_value="UNKNOWN",
+        concurrency=2,
+    )
+    return out.select_columns(["doc_id", "canonical"])
+
+
+def doc_sha256(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, sha256) — the per-row content sha256 invariant, checked
+    bit-for-bit against DuckDB's sha256()."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sha(batch: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "sha256": pa.array(digests)}
+        )
+
+    return ds.map_batches(sha, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# The language CASE mirrored in every oracle query (deterministic alias
+# dictionary, sources/vocab.py) — keep in sync with language_vocab().
+LANG_CASE_SQL = (
+    "CASE lang WHEN 'en' THEN 'English' WHEN 'fr' THEN 'French' "
+    "WHEN 'es' THEN 'Spanish' WHEN 'zh' THEN 'Chinese' "
+    "WHEN 'de' THEN 'German' WHEN 'ja' THEN 'Japanese' ELSE NULL END"
+)
+
+DOC_TRIPLES_SQL = f"""
+WITH t AS (
+  SELECT 'Doc_' || CAST(doc_id AS VARCHAR) AS s, lang, source, n_chars
+  FROM documents
+), triples AS (
+  SELECT ':' || s AS subj, 'a' AS pred, ':Document' AS obj FROM t
+  UNION ALL
+  SELECT ':' || s, 'rdfs:label', '\"\"\"' || source || '\"\"\"@en' FROM t
+  UNION ALL
+  SELECT ':' || s, ':fromSource', ':' || source FROM t
+  UNION ALL
+  SELECT ':' || s, ':hasLanguage', ':' || {LANG_CASE_SQL} FROM t
+  WHERE {LANG_CASE_SQL} IS NOT NULL
+  UNION ALL
+  SELECT ':' || s, ':hasNChars', '"' || CAST(n_chars AS VARCHAR) || '"^^xsd:int'
+  FROM t
+)
+SELECT DISTINCT subj, pred, obj FROM triples
+"""

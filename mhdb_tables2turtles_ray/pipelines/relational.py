@@ -1,0 +1,222 @@
+"""Relational operator pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's generic operator families — vectorized
+map/filter/project, partial+final grouped aggregation, broadcast hash
+join, sort/top-k, distinct, ordered in-group enumeration, session
+windowing — each in its at-scale shape:
+
+- aggregates pre-combine inside ``map_batches`` (per-batch pyarrow
+  ``group_by``) so the shuffle carries one row per key per block;
+- dimension joins broadcast the small side via ``ray.put`` (no shuffle);
+- floating-point aggregates are rounded at the boundary so results are
+  FP-stable across engines (summation order differs between Ray's tree
+  of partials and a sequential scan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions.numeric import round_half_away
+from ..sources.tables import load_lookup, read_table
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> ray.data.Dataset:
+    """TPC-H Q1 shape: filter + partial/final grouped aggregate.
+
+    Output: (l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    sum_disc_price, avg_qty, avg_price, count_order) — monetary sums
+    rounded to 2, averages to 6.
+    """
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch.column("l_shipdate"), pa.scalar(np.datetime64(cutoff, "us")))
+        )
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty_raw"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_raw"),
+        Sum("disc_price_sum", alias_name="sum_disc_raw"),
+        Sum("l_quantity_count", alias_name="count_order"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        qty = batch.column("sum_qty_raw").to_numpy()
+        base = batch.column("sum_base_raw").to_numpy()
+        disc = batch.column("sum_disc_raw").to_numpy()
+        cnt = batch.column("count_order").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pa.array(round_half_away(qty, 2)),
+                "sum_base_price": pa.array(round_half_away(base, 2)),
+                "sum_disc_price": pa.array(round_half_away(disc, 2)),
+                "avg_qty": pa.array(round_half_away(qty / cnt, 6)),
+                "avg_price": pa.array(round_half_away(base / cnt, 6)),
+                "count_order": pa.array(cnt),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast dimension join: orders ⋈ customer ⋈ nation, grouped.
+
+    Output: (n_name, revenue, n_orders). customer/nation are broadcast
+    dicts probed per batch — no shuffle join.
+    """
+    cust = load_lookup(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = load_lookup(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    cust_map = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    nation_map = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    ref = ray.put((cust_map, nation_map))
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        cmap, nmap = ray.get(ref)
+        names = [
+            nmap.get(cmap.get(ck)) for ck in batch.column("o_custkey").to_pylist()
+        ]
+        t = pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+        return t.group_by(["n_name"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+
+    partials = ds.map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby("n_name").aggregate(
+        Sum("o_totalprice_sum", alias_name="revenue_raw"),
+        Sum("o_totalprice_count", alias_name="n_orders"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue": pa.array(
+                    round_half_away(batch.column("revenue_raw").to_numpy(), 2)
+                ),
+                "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def topk_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Sort/top-k: k most expensive orders, deterministic tiebreak."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def filter_project_revenue(sf_dir: str, lo: str = "1996-01-01", hi: str = "1997-01-01"):
+    """Vectorized filter + computed column over lineitem."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        mask = pc.and_(
+            pc.greater_equal(sd, pa.scalar(np.datetime64(lo, "us"))),
+            pc.less(sd, pa.scalar(np.datetime64(hi, "us"))),
+        )
+        batch = batch.filter(mask)
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": pc.cast(batch.column("l_linenumber"), pa.int64()),
+                "revenue": pa.array(round_half_away(rev.to_numpy(zero_copy_only=False), 2)),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
+    """Distinct scan (tiny shuffle)."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return ray.data.from_arrow(pa.table({"event_type": pa.array(vals, pa.string())}))
+
+
+def events_enumerate(sf_dir: str) -> ray.data.Dataset:
+    """Per-user ordered enumeration (the ST2 ordinal semantics made
+    deterministic): (event_id, user_id, ordinal) ordered by (ts, event_id)."""
+    from ..stages.enumerate_groups import enumerate_in_groups
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = enumerate_in_groups(ds, "user_id", ["ts", "event_id"], out_col="ordinal")
+    return out.select_columns(["event_id", "user_id", "ordinal"])
+
+
+def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
+    """Session windows per user (stream-shaped op on the ordered log):
+    a new session starts when the gap from the previous event exceeds
+    ``gap_seconds``. Output: (user_id, session_id, n_events,
+    first_event_id). groupby(user) + in-group ordered scan."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        session_id = (gaps > gap_seconds).cumsum() + 1
+        g["session_id"] = session_id
+        agg = g.groupby("session_id").agg(
+            n_events=("event_id", "size"), first_event_id=("event_id", "min")
+        )
+        agg = agg.reset_index()
+        agg["user_id"] = g["user_id"].iloc[0]
+        return agg[["user_id", "session_id", "n_events", "first_event_id"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,170 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- :func:`ann_topk` — brute-force cosine top-k: the baseline. Query block
+  broadcast once (``ray.put``); each task does one float64 matmul per
+  batch and emits a PARTIAL top-k; a tiny groupby merges partials. At
+  100 TB the partial/final split means the shuffle carries
+  ``num_queries × k`` rows per block, not the corpus.
+- :func:`ann_ivf` — IVF-style scale path: coarse centroids from the
+  ``label`` partitions (a small groupby), queries probe only the
+  ``nprobe`` nearest centroids' partitions (read-side filter), then the
+  same partial/final top-k within the probed subset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.numeric import round_half_away
+from ..sources.tables import read_table
+
+
+def _query_block(sf_dir: str, num_queries: int):
+    rows = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {num_queries}")
+        .take_all()
+    )
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    return qids, qmat
+
+
+def _partial_topk_fn(ref, k: int):
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        cos = qmat @ emb.T  # (n_query, batch)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            sims = cos[qi]
+            mask = vids != qids[qi]  # exclude self-match
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            order = cand_idx[
+                np.lexsort((vids[cand_idx], -sims[cand_idx]))
+            ][:k]
+            out_q.extend([int(qids[qi])] * len(order))
+            out_v.extend(vids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return partial
+
+
+def _final_topk(k: int):
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        g["cosine"] = round_half_away(g["cosine"].to_numpy(), 6)  # FP-stable cross-engine
+        return g[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return final
+
+
+def ann_topk(sf_dir: str, k: int = 5, num_queries: int = 8) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank, cosine): exact brute-force top-k."""
+    qref = ray.put(_query_block(sf_dir, num_queries))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _partial_topk_fn(qref, k), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
+def ann_ivf(
+    sf_dir: str, k: int = 5, num_queries: int = 8, nprobe: int = 2
+) -> ray.data.Dataset:
+    """IVF-bucketed approximate top-k: probe the ``nprobe`` label
+    partitions whose centroids are nearest each query. Approximate by
+    construction (recall < 1 when the true neighbor lives in an
+    unprobed partition) — benchmarked against :func:`ann_topk`."""
+    # coarse centroids: tiny groupby over the label partitions
+    def centroid(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
+        return pd.DataFrame({"label": [g["label"].iloc[0]], "centroid": [m.tolist()]})
+
+    cents = (
+        read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+        .groupby("label")
+        .map_groups(centroid, batch_format="pandas")
+        .take_all()
+    )
+    labels = np.array([c["label"] for c in cents])
+    cmat = np.stack([np.asarray(c["centroid"], dtype=np.float64) for c in cents])
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    qids, qmat = _query_block(sf_dir, num_queries)
+    probe = {}  # label -> query indices probing it
+    sims_qc = qmat @ cmat.T
+    for qi in range(len(qids)):
+        top = np.argsort(-sims_qc[qi])[:nprobe]
+        for t in top:
+            probe.setdefault(int(labels[t]), []).append(qi)
+
+    probed_labels = sorted(probe)
+    import pyarrow.compute as pc
+
+    ds = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("label"), pa.array(probed_labels))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    qref = ray.put((qids, qmat, {lab: set(qis) for lab, qis in probe.items()}))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q, probe_map = ray.get(qref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        labs = np.asarray(batch.column("label").to_pylist())
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        cos = mat_q @ emb.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            allowed = np.array([la in probe_map and qi in probe_map[la] for la in labs])
+            allowed &= vids != ids_q[qi]
+            cand = np.nonzero(allowed)[0]
+            if len(cand) == 0:
+                continue
+            order = cand[np.lexsort((vids[cand], -cos[qi][cand]))][:k]
+            out_q.extend([int(ids_q[qi])] * len(order))
+            out_v.extend(vids[order].tolist())
+            out_s.extend(cos[qi][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
