@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Benchmark harness. Prints ONE JSON line.
+
+  python bench.py             # full run at $GRAFT_SF_DIR (default sf0.1)
+                              # with $RAY_GRAFT_CPUS cpus (default 32)
+  python bench.py --scaling   # same headline job at 8 and 32 cpus in
+                              # fresh processes → scaling efficiency
+
+Headline: the flagship KG build (corpus → sha256 → linker → emission →
+dedup shuffle → Turtle shards + manifests) over a deterministic
+~200k-file corpus derived from the documents table. Metric value =
+headline wall seconds; `files_per_sec` is the throughput the BASELINE
+targets track; `queries` holds per-pipeline seconds for the operator
+families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+KG_REPLICAS = int(os.environ.get("GRAFT_KG_REPLICAS", "40"))
+HEADLINE_ONLY = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+# Scaling levels: this sandbox's 32 "CPUs" are ~16 physical cores + SMT —
+# raw-CPU scaling from 8→32 processes tops out at ~2.6×/4 (measured, see
+# BASELINE.md), so the default N→4N evidence uses 8→32 but the hardware
+# ceiling is reported alongside; override with GRAFT_SCALE_LO/HI.
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+
+
+def _consume(ds) -> int:
+    """Fully execute a Dataset (count() is a streaming consume)."""
+    return ds.count() if hasattr(ds, "count") else len(ds)
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from mhdb_tables2turtles_ray.pipelines import dedup as dd
+    from mhdb_tables2turtles_ray.pipelines import kg
+    from mhdb_tables2turtles_ray.pipelines import kg_queries as kq
+    from mhdb_tables2turtles_ray.pipelines import multimodal as mm
+    from mhdb_tables2turtles_ray.pipelines import relational as rel
+    from mhdb_tables2turtles_ray.pipelines import similarity as sim
+    from mhdb_tables2turtles_ray.pipelines import text as tx
+    from mhdb_tables2turtles_ray.sources.corpus import corpus_from_documents
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    _consume(corpus_from_documents(SF_DIR))
+
+    # --- headline: flagship KG build over the replicated corpus ---
+    # best-of-2: run-to-run variance on this box is large (actor pool
+    # spin-up, noisy neighbors); min of two timed runs is the stable
+    # compute+shuffle signal.
+    corpus = corpus_from_documents(SF_DIR, replicas=KG_REPLICAS)
+    n_files = corpus.count()
+    headline, summary = None, None
+    for attempt in range(2):
+        out_dir = f"/tmp/bench_kg_{NUM_CPUS}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        s = kg.kg_build(
+            corpus_from_documents(SF_DIR, replicas=KG_REPLICAS),
+            out_dir,
+            num_partitions=64,
+            resume=False,
+            linker_concurrency=(2, NUM_CPUS),
+            dedup_buckets=max(32, NUM_CPUS * 4),
+        )
+        dt = time.perf_counter() - t0
+        if headline is None or dt < headline:
+            headline, summary = dt, s
+
+    queries: dict[str, float] = {}
+
+    def bench(name, fn):
+        t = time.perf_counter()
+        _consume(fn(SF_DIR))
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    if HEADLINE_ONLY:
+        return {
+            "metric": "kg_build_wall_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "kg_files": n_files,
+            "kg_triples": summary["n_triples"],
+            "files_per_sec": round(n_files / headline, 1),
+        }
+
+    bench("kg_doc_triples", kq.doc_triples)
+    bench("dedup_exact", dd.exact_dedup)
+    bench("dedup_minhash_lsh", dd.minhash_lsh_pairs)
+    bench("dedup_simhash", dd.simhash_pairs)
+    bench("ann_topk", sim.ann_topk)
+    bench("text_token_counts", tx.token_counts)
+    bench("text_fingerprint", tx.fingerprints)
+    bench("mm_payload_meta", mm.payload_meta)
+    bench("rel_pricing_summary", rel.pricing_summary)
+    bench("rel_sessionize", rel.sessionize)
+
+    return {
+        "metric": "kg_build_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "kg_files": n_files,
+        "kg_triples": summary["n_triples"],
+        "files_per_sec": round(n_files / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        time.sleep(5)  # let the previous Ray session's workers fully exit
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(SCALE_LO), run(SCALE_HI)
+    ratio = SCALE_HI / SCALE_LO
+    eff = (lo["value"] / hi["value"]) / ratio
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": SCALE_LO,
+        "cpus_hi": SCALE_HI,
+        f"sec_{SCALE_LO}": lo["value"],
+        f"sec_{SCALE_HI}": hi["value"],
+        f"files_per_sec_{SCALE_LO}": lo["files_per_sec"],
+        f"files_per_sec_{SCALE_HI}": hi["files_per_sec"],
+        "kg_files": lo["kg_files"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    else:
+        result = run_benchmarks()
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(result))

@@ -125,6 +125,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    concurrency=(2, 8),
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -146,31 +147,46 @@ def minhash_lsh_pairs(
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        batch_size=512,
+        concurrency=concurrency,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
-            )
-        group = group.sort_values("doc_id").head(max_bucket)
-        ids = group["doc_id"].to_numpy()
-        sigs = np.stack(group["sig"].to_numpy())  # (n, num_perm)
+    # Coarsen the shuffle key: hash each (band, band_hash) LSH bucket into
+    # B coarse partitions, then group the fine buckets with pandas INSIDE
+    # each partition task. One (band, band_hash) groupby would create one
+    # Ray group per fine bucket — per-group task overhead dominates when
+    # buckets are tiny; B coarse groups amortize it by ~|buckets|/B.
+    B = 256
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        coarse = pc.bit_wise_xor(
+            t.column("band_hash"), pc.cast(t.column("band"), pa.uint64())
+        )
+        bucket = pc.cast(pc.bit_wise_and(coarse, pa.scalar(B - 1, pa.uint64())), pa.int64())
+        return t.append_column("bucket", bucket)
+
+    def coarse_pairs(part: pd.DataFrame) -> pd.DataFrame:
         a_idx, b_idx, est = [], [], []
-        for i in range(len(ids)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for j in hit:
-                a_idx.append(ids[i])
-                b_idx.append(ids[i + 1 + j])
-                est.append(float(eq[j]))
+        for _, group in part.groupby(["band", "band_hash"], sort=False):
+            if len(group) < 2:
+                continue
+            group = group.sort_values("doc_id").head(max_bucket)
+            ids = group["doc_id"].to_numpy()
+            sigs = np.stack(group["sig"].to_numpy())  # (n, num_perm)
+            for i in range(len(ids)):
+                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                for j in np.nonzero(eq >= threshold)[0]:
+                    a_idx.append(ids[i])
+                    b_idx.append(ids[i + 1 + j])
+                    est.append(float(eq[j]))
         return pd.DataFrame(
             {"doc_a": a_idx, "doc_b": b_idx, "est_jaccard": est}
         ).astype({"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        exploded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(coarse_pairs, batch_format="pandas")
     )
     # global pair dedup (same pair found in multiple bands)
     return (
@@ -217,7 +233,8 @@ class SimHasher:
 
 
 def simhash_pairs(
-    sf_dir: str, band_bits: int = 16, hamming_max: int = 3, max_bucket: int = 200
+    sf_dir: str, band_bits: int = 16, hamming_max: int = 3, max_bucket: int = 200,
+    concurrency=(2, 8),
 ) -> ray.data.Dataset:
     """Near-dup pairs via SimHash banding: docs sharing any 16-bit band
     are candidates; verified by Hamming distance ≤ ``hamming_max``."""
@@ -227,12 +244,26 @@ def simhash_pairs(
         fn_constructor_kwargs={"band_bits": band_bits},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        batch_size=512,
+        concurrency=concurrency,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    # Same coarse-bucket shuffle trick as minhash_lsh_pairs: B partitions,
+    # fine (band, band_key) buckets grouped with pandas inside each task.
+    B = 256
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        coarse = pc.bit_wise_xor(
+            t.column("band_key"), pc.cast(t.column("band"), pa.uint64())
+        )
+        bucket = pc.cast(pc.bit_wise_and(coarse, pa.scalar(B - 1, pa.uint64())), pa.int64())
+        return t.append_column("bucket", bucket)
+
+    def coarse_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "hamming": []}
-        if len(group) >= 2:
+        for _, group in part.groupby(["band", "band_key"], sort=False):
+            if len(group) < 2:
+                continue
             group = group.sort_values("doc_id").head(max_bucket)
             ids = group["doc_id"].to_numpy()
             sigs = group["sig"].to_numpy().astype(np.uint64)
@@ -247,8 +278,10 @@ def simhash_pairs(
             {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
         )
 
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        exploded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(coarse_pairs, batch_format="pandas")
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")

@@ -90,11 +90,23 @@ def tbox_triples(vocab: dict) -> pa.Table:
 def kg_triples(
     corpus: ray.data.Dataset,
     vocab: dict | None = None,
-    linker_concurrency=2,
+    linker_concurrency=None,
     dedup_buckets: int = 32,
 ) -> ray.data.Dataset:
-    """corpus Dataset → deduplicated (subj, pred, obj) Dataset."""
+    """corpus Dataset → deduplicated (subj, pred, obj) Dataset.
+
+    ``linker_concurrency`` sizes the linker actor pool. Ray fuses the
+    upstream stateless maps (corpus gen, sha256) INTO the actor pool, so
+    an undersized fixed pool caps the whole heavy chain; default is an
+    autoscaling pool up to the session's CPU count.
+    """
     vocab = vocab or build_vocab_bundle()
+    if linker_concurrency is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        linker_concurrency = (2, max(2, ncpu))
     lang_ref = ray.put(vocab["languages"])
 
     ds = add_content_sha256(corpus)

@@ -46,7 +46,9 @@ def _mint_paths(ids: np.ndarray, langs: list[str]) -> list[str]:
     return out
 
 
-def corpus_from_documents(sf_dir: str, **read_kwargs) -> ray.data.Dataset:
+def corpus_from_documents(
+    sf_dir: str, replicas: int = 1, **read_kwargs
+) -> ray.data.Dataset:
     """documents.parquet → corpus-shaped Dataset, deterministically.
 
     repo   = f"org{doc_id % 7}/repo{doc_id % 101}"  (small cardinality →
@@ -55,7 +57,57 @@ def corpus_from_documents(sf_dir: str, **read_kwargs) -> ray.data.Dataset:
     commit = sha1 hex of the doc_id (stable)
     lang   = documents.lang
     content= documents.text
+
+    ``replicas > 1`` fans every document out to that many distinct
+    corpus files (ids offset per replica, content duplicated) — a
+    deterministic scale-up used by the benchmark so the pipeline sees a
+    corpus large enough to exercise every core.
     """
+    if replicas > 1:
+        # Bench-only scale-up: the (small) documents table is broadcast
+        # once and row ids minted from ray.data.range — every block of
+        # the range becomes an independent generation task, so the
+        # replicated corpus parallelizes across all cores instead of
+        # being produced inside one reader task.
+        import ray
+
+        import pyarrow.parquet as pq
+
+        base = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        n_base = base.num_rows
+        base_ref = ray.put(
+            {
+                "doc_id": base.column("doc_id").to_numpy(),
+                "text": base.column("text").to_pylist(),
+                "lang": base.column("lang").to_pylist(),
+            }
+        )
+
+        def gen(batch: dict) -> pa.Table:
+            b = ray.get(base_ref)
+            gids = batch["id"].astype(np.int64)
+            pos = (gids % n_base).astype(np.int64)
+            rep = gids // n_base
+            ids = b["doc_id"][pos] + rep * 1_000_000
+            langs = [b["lang"][p] for p in pos.tolist()]
+            return pa.table(
+                {
+                    "repo": pa.array(
+                        [f"org{i % 7}/repo{i % 101}" for i in ids.tolist()]
+                    ),
+                    "path": pa.array(_mint_paths(ids, langs)),
+                    "commit": pa.array([_commit_hex(f"doc-{i}") for i in ids.tolist()]),
+                    "lang": pa.array(langs),
+                    "content": pa.array([b["text"][p] for p in pos.tolist()]),
+                }
+            )
+
+        return ray.data.range(n_base * replicas, override_num_blocks=replicas).map_batches(
+            gen, batch_format="numpy"
+        )
+
     ds = read_table(
         sf_dir, "documents", columns=["doc_id", "text", "lang"], **read_kwargs
     )
