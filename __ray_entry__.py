@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_link_lang": kq.entity_link_lang,
         "kg_doc_sha256": kq.doc_sha256,
         "kg_flagship_corpus": kg.kg_from_documents,  # rows-only (sha1 commits)
+        "kg_reified_triples": kq.reified_doc_triples,
+        "kg_subject_degree_salted": kq.subject_degree_salted,
+        "kg_event_seq": kq.event_seq,
+        "rel_supplier_region": kq.supplier_region,
         # --- dedup family ---
         "dedup_exact": dd.exact_dedup,
         "dedup_minhash_lsh": dd.minhash_lsh_pairs,  # rows-only (sketch)
@@ -114,6 +118,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "kg_doc_sha256": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        "kg_reified_triples": f"""
+            WITH triples AS ({DOC_TRIPLES_SQL}),
+            b AS (
+              SELECT '_:' || regexp_replace(
+                       subj || '_' || pred || '_' || obj,
+                       '[^a-zA-Z0-9_-]', '', 'g') AS bnode,
+                     subj, pred, obj
+              FROM triples
+            )
+            SELECT bnode AS subj, 'rdf:type' AS pred, 'rdf:Statement' AS obj FROM b
+            UNION ALL SELECT bnode, 'rdf:subject', subj FROM b
+            UNION ALL SELECT bnode, 'rdf:predicate', pred FROM b
+            UNION ALL SELECT bnode, 'rdf:object', obj FROM b
+        """,
+        "kg_subject_degree_salted": f"""
+            WITH triples AS ({DOC_TRIPLES_SQL})
+            SELECT subj, CAST(count(*) AS BIGINT) AS degree
+            FROM triples GROUP BY subj
+        """,
+        "kg_event_seq": """
+            WITH r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn
+              FROM events
+            )
+            SELECT ':User_' || user_id || '_Events' AS subj,
+                   'a' AS pred, 'rdf:Seq' AS obj
+            FROM (SELECT DISTINCT user_id FROM events)
+            UNION ALL
+            SELECT ':User_' || user_id || '_Events',
+                   'rdf:_' || rn, ':Event_' || event_id
+            FROM r WHERE rn <= 5
+        """,
+        "rel_supplier_region": """
+            SELECT s_suppkey, r_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         """,

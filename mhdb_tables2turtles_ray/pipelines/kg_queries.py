@@ -99,6 +99,65 @@ def doc_sha256(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(sha, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def reified_doc_triples(sf_dir: str) -> ray.data.Dataset:
+    """Reification operator over the document triples: every (s, p, o)
+    becomes an rdf:Statement blank node with 4 triples."""
+    from ..stages.reify import reify_triples
+
+    return reify_triples(doc_triples(sf_dir))
+
+
+def subject_degree_salted(sf_dir: str) -> ray.data.Dataset:
+    """Same result as :func:`subject_degree` via the salted two-phase
+    aggregation (hot-key-safe shuffle; identical oracle)."""
+    from ..stages.salted import salted_group_count
+
+    return salted_group_count(doc_triples(sf_dir), "subj", num_salts=8)
+
+
+def event_seq(sf_dir: str) -> ray.data.Dataset:
+    """rdf:Seq of each user's first 5 events in (ts, event_id) order —
+    the ordered-collection emission over a partitioned log."""
+    from ..stages.seq import event_sequences
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return event_sequences(
+        ds,
+        key_col="user_id",
+        item_col="event_id",
+        order_by=["ts", "event_id"],
+        limit=5,
+    )
+
+
+def supplier_region(sf_dir: str) -> ray.data.Dataset:
+    """Two-hop broadcast lookup (J3): supplier → nation → region."""
+    from ..sources.tables import load_lookup
+    from ..stages.twohop import two_hop_lookup
+
+    nation = load_lookup(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = load_lookup(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    hop1 = ray.put(
+        dict(
+            zip(
+                nation.column("n_nationkey").to_pylist(),
+                nation.column("n_regionkey").to_pylist(),
+            )
+        )
+    )
+    hop2 = ray.put(
+        dict(
+            zip(
+                region.column("r_regionkey").to_pylist(),
+                region.column("r_name").to_pylist(),
+            )
+        )
+    )
+    ds = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    out = two_hop_lookup(ds, "s_nationkey", hop1, hop2, out_col="r_name")
+    return out.select_columns(["s_suppkey", "r_name"])
+
+
 # The language CASE mirrored in every oracle query (deterministic alias
 # dictionary, sources/vocab.py) — keep in sync with language_vocab().
 LANG_CASE_SQL = (

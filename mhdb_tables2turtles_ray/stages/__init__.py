@@ -4,6 +4,12 @@ from .prefixes import used_prefixes
 from .enumerate_groups import enumerate_in_groups
 from .linker import EntityLinker, link_column
 from .materialize import materialize_turtle, render_turtle_blocks, write_header
+from .provenance import flag_sourced
+from .reify import reify_triples, statement_bnode
+from .salted import salted_group_count
+from .seq import SeqEmitter, event_sequences, parse_response_options
+from .twohop import two_hop_lookup
+from .validate import validate_turtle_dir
 
 __all__ = [
     "EmissionSpec",
@@ -19,4 +25,13 @@ __all__ = [
     "materialize_turtle",
     "render_turtle_blocks",
     "write_header",
+    "flag_sourced",
+    "reify_triples",
+    "statement_bnode",
+    "salted_group_count",
+    "SeqEmitter",
+    "event_sequences",
+    "parse_response_options",
+    "two_hop_lookup",
+    "validate_turtle_dir",
 ]

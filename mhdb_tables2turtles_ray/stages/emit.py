@@ -85,6 +85,8 @@ class Literal:
       - ``"lang"``      → ``\"\"\"value\"\"\"@lang`` (language_string)
       - ``"xsd:*"``     → typed literal, e.g. ``"xsd:anyURI"``
       - ``"iri"``       → run the value through check_iri (CURIE/label)
+      - ``"curie:P"``   → ``P:value`` pass-through CURIE (e.g.
+        ``curie:ICD9CM``, reference mhdb/ingest.py:658-667)
     split: explode the cell on this delimiter first (alias /
       equivalentClasses columns, reference mhdb/ingest.py:1373-1391).
     """
@@ -113,6 +115,8 @@ class Literal:
                 out.append(language_string(part, self.lang))
             elif self.kind == "iri":
                 out.append(check_iri(part, self.casing))
+            elif self.kind.startswith("curie:"):
+                out.append("{}:{}".format(self.kind[6:], part))
             else:
                 out.append(typed_literal(part, self.kind))
         return out
