@@ -87,6 +87,9 @@ class Literal:
       - ``"iri"``       → run the value through check_iri (CURIE/label)
       - ``"curie:P"``   → ``P:value`` pass-through CURIE (e.g.
         ``curie:ICD9CM``, reference mhdb/ingest.py:658-667)
+      - ``"raw"``       → value emitted verbatim (the reference's
+        owl:sameAs / equivalentClasses columns pass through unminted,
+        mhdb/ingest.py:3094-3103)
     split: explode the cell on this delimiter first (alias /
       equivalentClasses columns, reference mhdb/ingest.py:1373-1391).
     """
@@ -117,6 +120,8 @@ class Literal:
                 out.append(check_iri(part, self.casing))
             elif self.kind.startswith("curie:"):
                 out.append("{}:{}".format(self.kind[6:], part))
+            elif self.kind == "raw":
+                out.append(part if isinstance(part, str) else str(part))
             else:
                 out.append(typed_literal(part, self.kind))
         return out
