@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topk_orders": rel.topk_orders,
         "rel_filter_project": rel.filter_project_revenue,
         "rel_distinct_event_types": rel.distinct_event_types,
+        "rel_events_hourly": rel.events_hourly,
         "rel_events_enumerate": rel.events_enumerate,
         "rel_sessionize": rel.sessionize,
     }
@@ -286,6 +287,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_distinct_event_types": """
             SELECT DISTINCT event_type FROM events
+        """,
+        "rel_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "rel_events_enumerate": """
             SELECT event_id, user_id,

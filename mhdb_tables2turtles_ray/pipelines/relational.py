@@ -200,6 +200,47 @@ def events_enumerate(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["event_id", "user_id", "ordinal"])
 
 
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate over the event log: per (hour,
+    event_type) count + value sum. Partial per-batch combine (pyarrow
+    group_by) → small final shuffle; the window key is computed
+    vectorized with ``pc.floor_temporal``."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table(
+            {
+                "hour": hour,
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }
+        )
+        return t.group_by(["hour", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby(["hour", "event_type"]).aggregate(
+        Sum("value_sum", alias_name="value_raw"),
+        Sum("value_count", alias_name="n_events"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": batch.column("hour"),
+                "event_type": batch.column("event_type"),
+                "sum_value": pa.array(
+                    round_half_away(batch.column("value_raw").to_numpy(), 2)
+                ),
+                "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Session windows per user (stream-shaped op on the ordered log):
     a new session starts when the gap from the previous event exceeds

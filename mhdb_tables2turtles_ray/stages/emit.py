@@ -52,11 +52,16 @@ _EXCLUDED_STRINGS = frozenset({"EmptyValue", "", "NaN", "NAN", "nan"})
 
 
 def is_excluded(value) -> bool:
+    # Hot path (called ~20× per input row): exact-type checks instead of
+    # isinstance, NaN via self-inequality.
     if value is None:
         return True
-    if isinstance(value, float) and math.isnan(value):
-        return True
-    return isinstance(value, str) and value in _EXCLUDED_STRINGS
+    cls = value.__class__
+    if cls is str:
+        return value in _EXCLUDED_STRINGS
+    if cls is float:
+        return value != value
+    return False
 
 
 def fk_keys(value) -> list[int] | None:
@@ -199,30 +204,49 @@ class TripleEmitter:
             else []
             for spec in self.specs
         }
+        # fast path: "{col}" templates resolve by key lookup, no .format
+        self._subject_single = {
+            spec.name: spec.subject_template[1:-1]
+            if (
+                spec.subject_template.startswith("{")
+                and spec.subject_template.endswith("}")
+                and spec.subject_template.count("{") == 1
+            )
+            else None
+            for spec in self.specs
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         subjs: list[str] = []
         preds: list[str] = []
         objs: list[str] = []
         seen: set[tuple[str, str, str]] = set()
+        seen_add = seen.add
+        s_app, p_app, o_app = subjs.append, preds.append, objs.append
 
+        # All emitted components come from our own formatters (lang/typed
+        # literals, check_iri mints, static predicates) whose outputs can
+        # never collide with the exclude list — raw pass-through values
+        # are gated in Literal.render before formatting — so emit() only
+        # needs the per-batch dedup set (partial/final aggregate split).
         def emit(s: str, p: str, o: str) -> None:
-            if is_excluded(s) or is_excluded(p) or is_excluded(o):
-                return
             t = (s, p, o)
             if t not in seen:
-                seen.add(t)
-                subjs.append(s)
-                preds.append(p)
-                objs.append(o)
+                seen_add(t)
+                s_app(s)
+                p_app(p)
+                o_app(o)
 
         for spec in self.specs:
             needed = [c for c in spec.columns() if c in batch.column_names]
-            cols = {c: batch.column(c).to_pylist() for c in needed}
-            n = batch.num_rows
-            for i in range(n):
-                row = {c: cols[c][i] for c in needed}
-                self._emit_row(spec, row, emit)
+            col_lists = [batch.column(c).to_pylist() for c in needed]
+            emit_row = self._emit_row
+            if needed:
+                for vals in zip(*col_lists):
+                    emit_row(spec, dict(zip(needed, vals)), emit)
+            else:  # constant-subject spec: one emission per input row
+                for _ in range(batch.num_rows):
+                    emit_row(spec, {}, emit)
 
         return pa.table(
             {
@@ -237,12 +261,21 @@ class TripleEmitter:
         # against exclude_list before any formatting — a Python None must
         # not leak in as the string "None"; only a literal "None" cell
         # keeps the golden ':None' quirk).
-        if any(is_excluded(row.get(f)) for f in self._subject_fields[spec.name]):
-            return
-        try:
-            raw_subject = spec.subject_template.format(**row)
-        except (KeyError, IndexError):
-            return
+        for f in self._subject_fields[spec.name]:
+            if is_excluded(row.get(f)):
+                return
+        single = self._subject_single[spec.name]
+        if single is not None:
+            raw_subject = row.get(single)
+            if raw_subject is None:
+                return
+            if raw_subject.__class__ is not str:
+                raw_subject = str(raw_subject)
+        else:
+            try:
+                raw_subject = spec.subject_template.format(**row)
+            except (KeyError, IndexError):
+                return
         if is_excluded(raw_subject):
             return
         raw_subject = raw_subject.strip()

@@ -126,16 +126,31 @@ def materialize_turtle(
         return batch
 
     def render_and_write(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         pid = int(group.column("pid")[0].as_py())
         body = group.select(["subj", "pred", "obj"])
         text = render_turtle_blocks(body)
         pfx = _batch_prefixes(body).column("prefix").to_pylist()
         n_subjects = len(body.group_by(["subj"]).aggregate([]))
+        # per-partition quarantine metric: dangling-FK triples emitted by
+        # the quarantine path instead of the reference's IndexError crash
+        n_quarantined = int(
+            pc.sum(
+                pc.cast(pc.equal(body.column("pred"), ":hasDanglingFK"), pa.int64())
+            ).as_py()
+            or 0
+        )
         manifest = write_partition_atomic(
             out_dir,
             pid,
             text,
-            {"n_triples": body.num_rows, "n_subjects": n_subjects, "prefixes": pfx},
+            {
+                "n_triples": body.num_rows,
+                "n_subjects": n_subjects,
+                "n_quarantined": n_quarantined,
+                "prefixes": pfx,
+            },
         )
         return pa.table(
             {
