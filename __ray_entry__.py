@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_filter_project": rel.filter_project_revenue,
         "rel_distinct_event_types": rel.distinct_event_types,
         "rel_events_hourly": rel.events_hourly,
+        "rel_events_props": rel.events_props_extract,
         "rel_events_enumerate": rel.events_enumerate,
         "rel_sessionize": rel.sessionize,
     }
@@ -293,6 +294,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "rel_events_props": """
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+            FROM events
         """,
         "rel_events_enumerate": """
             SELECT event_id, user_id,

@@ -241,6 +241,25 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def events_props_extract(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    JSON-ish ``props`` column, vectorized with an Arrow regex kernel
+    (the portable path — no JSON extension dependency)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch.column("props"), r'"k": (?P<k>[0-9]+)')
+        kvals = pc.struct_field(k, "k")
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "k": pc.cast(kvals, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Session windows per user (stream-shaped op on the ordered log):
     a new session starts when the gap from the previous event exceeds
