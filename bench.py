@@ -84,7 +84,7 @@ def run_benchmarks() -> dict:
             out_dir,
             num_partitions=64,
             resume=False,
-            linker_concurrency=(2, NUM_CPUS),
+            linker_concurrency=(1, max(1, NUM_CPUS - 2)),
             dedup_buckets=max(32, NUM_CPUS * 4),
         )
         dt = time.perf_counter() - t0
@@ -135,6 +135,31 @@ def run_benchmarks() -> dict:
     }
 
 
+def _burn(_):
+    import time as _t
+
+    t0 = _t.time()
+    x = 0
+    while _t.time() - t0 < 2.0:
+        x += 1
+    return x
+
+
+def _hardware_ratio(lo: int, hi: int) -> float:
+    """Raw-CPU scaling available between the two levels on THIS box —
+    a pure compute burn across process pools. On SMT machines (this
+    sandbox: ~16 physical cores presenting 32 CPUs) the ratio is < hi/lo,
+    which bounds any pipeline's achievable efficiency; reporting it makes
+    the pipeline's efficiency interpretable."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            out[n] = sum(p.map(_burn, range(n)))
+    return out[hi] / out[lo]
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
@@ -152,9 +177,13 @@ def run_scaling() -> dict:
     lo, hi = run(SCALE_LO), run(SCALE_HI)
     ratio = SCALE_HI / SCALE_LO
     eff = (lo["value"] / hi["value"]) / ratio
+    hw_ratio = _hardware_ratio(SCALE_LO, SCALE_HI)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
+        "hardware_ratio": round(hw_ratio, 3),
+        "hardware_efficiency_ceiling": round(hw_ratio / ratio, 3),
+        "efficiency_vs_hardware": round((lo["value"] / hi["value"]) / hw_ratio, 3),
         "unit": "ratio",
         "cpus_lo": SCALE_LO,
         "cpus_hi": SCALE_HI,

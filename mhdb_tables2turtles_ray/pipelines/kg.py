@@ -100,13 +100,32 @@ def kg_triples(
     an undersized fixed pool caps the whole heavy chain; default is an
     autoscaling pool up to the session's CPU count.
     """
+    return dedup_triples(
+        kg_triples_raw(corpus, vocab, linker_concurrency),
+        num_buckets=dedup_buckets,
+    )
+
+
+def kg_triples_raw(
+    corpus: ray.data.Dataset,
+    vocab: dict | None = None,
+    linker_concurrency=None,
+) -> ray.data.Dataset:
+    """Emission WITHOUT the global dedup shuffle (per-batch partial dedup
+    only). Used by :func:`kg_build`, which folds exact dedup into the
+    materialize shuffle instead (one all-to-all for the whole build)."""
     vocab = vocab or build_vocab_bundle()
     if linker_concurrency is None:
         try:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        linker_concurrency = (2, max(2, ncpu))
+        # Leave ≥2 CPUs for the task-based stages (emitter, shuffle,
+        # render): an actor pool whose MINIMUM reserves every CPU
+        # deadlocks the pipeline — actors hold their CPUs even when
+        # blocked on downstream backpressure (observed as a permanent
+        # stall on a 2-CPU cluster).
+        linker_concurrency = (1, max(1, ncpu - 2))
     lang_ref = ray.put(vocab["languages"])
 
     ds = add_content_sha256(corpus)
@@ -119,8 +138,7 @@ def kg_triples(
         concurrency=linker_concurrency,
     )
     triples = emit_triples(ds, corpus_specs())
-    triples = triples.union(ray.data.from_arrow(tbox_triples(vocab)))
-    return dedup_triples(triples, num_buckets=dedup_buckets)
+    return triples.union(ray.data.from_arrow(tbox_triples(vocab)))
 
 
 def kg_build(
@@ -129,16 +147,21 @@ def kg_build(
     vocab: dict | None = None,
     num_partitions: int = 16,
     resume: bool = True,
-    **kwargs,
+    linker_concurrency=None,
+    dedup_buckets: int = 32,  # kept for API compat; dedup rides the
+    # materialize shuffle (duplicate triples share their subject, so the
+    # subject-hash partition dedups exactly) — one all-to-all total.
 ) -> dict:
     """Full build: triples + Turtle shards + manifests + header."""
+    del dedup_buckets
     vocab = vocab or build_vocab_bundle()
-    triples = kg_triples(corpus, vocab, **kwargs)
+    triples = kg_triples_raw(corpus, vocab, linker_concurrency)
     return materialize_turtle(
         triples,
         out_dir,
         num_partitions=num_partitions,
         resume=resume,
+        dedup=True,
         base_uri=vocab["base_uri"],
         prefixes=vocab["prefixes"],
     )

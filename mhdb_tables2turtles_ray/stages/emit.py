@@ -27,18 +27,11 @@ Scale notes
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 
-from ..functions.strings import (
-    check_iri,
-    clean_string,
-    convert_string_to_label,
-    language_string,
-    typed_literal,
-)
+from ..functions.strings import check_iri, language_string, typed_literal
 
 TRIPLE_SCHEMA = pa.schema(
     [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]

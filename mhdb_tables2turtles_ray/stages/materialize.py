@@ -100,6 +100,7 @@ def materialize_turtle(
     out_dir: str,
     num_partitions: int = 16,
     resume: bool = True,
+    dedup: bool = False,
     base_uri: str = "http://w3id.org/graft/kg",
     version: str = "0.1.0",
     label: str = "graft-kg",
@@ -107,6 +108,15 @@ def materialize_turtle(
     prefixes: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Write per-partition Turtle shards + lineage manifests + header.
+
+    ``dedup=True`` folds the global exact triple dedup into THIS
+    shuffle: duplicate (s,p,o) rows share their subject, hence land in
+    the same subject-hash partition, so a per-partition distinct is
+    exact global dedup — the full build then needs ONE all-to-all
+    instead of two (triple-bucket dedup + subject partition). Partition
+    sizing: a partition holds all triples of its subjects in memory
+    during render — pick ``num_partitions`` ≈ total triple bytes /
+    target block size.
 
     Returns a summary: per-partition stats (tiny — one row per
     partition), skipped partition ids, and totals. Assumes ``out_dir``
@@ -130,6 +140,8 @@ def materialize_turtle(
 
         pid = int(group.column("pid")[0].as_py())
         body = group.select(["subj", "pred", "obj"])
+        if dedup:
+            body = body.group_by(["subj", "pred", "obj"]).aggregate([])
         text = render_turtle_blocks(body)
         pfx = _batch_prefixes(body).column("prefix").to_pylist()
         n_subjects = len(body.group_by(["subj"]).aggregate([]))
