@@ -1,0 +1,76 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+    python -m mhdb_tables2turtles_ray build \
+        --input /path/to/corpus/*.parquet --out /tmp/kg \
+        --partitions 64 [--no-resume] [--validate]
+
+    python -m mhdb_tables2turtles_ray build --sf-dir /root/testdata/sf0.001 \
+        --out /tmp/kg
+
+On a cluster this module is the job driver: submit with
+``ray job submit -- python -m mhdb_tables2turtles_ray build ...`` and
+Ray Data schedules the stages across nodes; locally it initialises a
+local session itself (guarded — never re-inits a driver-owned session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="mhdb_tables2turtles_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="corpus parquet → Turtle KG shards")
+    src = b.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", nargs="+", help="corpus parquet paths/globs")
+    src.add_argument("--sf-dir", help="testdata dir (documents-derived corpus)")
+    b.add_argument("--out", required=True, help="output directory (shared storage)")
+    b.add_argument("--partitions", type=int, default=64)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--validate", action="store_true", help="parse shards after write")
+    b.add_argument("--num-cpus", type=int, default=None,
+                   help="local-mode CPU count (ignored under ray job submit)")
+
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.kg import kg_build
+    from .sources.corpus import corpus_from_documents
+
+    if args.sf_dir:
+        corpus = corpus_from_documents(args.sf_dir)
+    else:
+        import ray.data
+
+        corpus = ray.data.read_parquet(
+            args.input, columns=["repo", "path", "commit", "lang", "content"]
+        )
+
+    summary = kg_build(
+        corpus, args.out, num_partitions=args.partitions, resume=not args.no_resume
+    )
+    if args.validate:
+        from .stages.validate import validate_turtle_dir
+
+        summary["validation"] = validate_turtle_dir(args.out)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

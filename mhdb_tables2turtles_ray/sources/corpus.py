@@ -133,6 +133,7 @@ def synthesize_corpus(
     n_rows: int,
     skew_repo_fraction: float = 0.0,
     dup_fraction: float = 0.01,
+    payload_repeat: int = 1,
 ) -> ray.data.Dataset:
     """Pure synthetic corpus of ``n_rows`` (no testdata dependency).
 
@@ -140,7 +141,8 @@ def synthesize_corpus(
     identically at any parallelism. ``skew_repo_fraction`` routes that
     fraction of rows to a single hot repo (salting/skew fixtures);
     ``dup_fraction`` makes that fraction exact duplicates of earlier rows
-    (dedup fixtures).
+    (dedup fixtures). ``payload_repeat`` multiplies the content size
+    (wide-record fixtures — multi-KB rows per FIXTURES.md §A).
     """
     langs = list(_EXTS)
 
@@ -166,6 +168,8 @@ def synthesize_corpus(
             + f' "q{int(i) % 13}"\nline-{int(i) % 5}'
             for i in eff
         ]
+        if payload_repeat > 1:
+            contents = [c * payload_repeat for c in contents]
         return pa.table(
             {
                 "repo": pa.array(repos, pa.string()),

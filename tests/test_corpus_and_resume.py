@@ -50,6 +50,20 @@ def test_skewed_corpus_through_kg(ray_session):
     assert hot == [{"subj": ":org0hot-repo", "pred": "a", "obj": ":Repository"}]
 
 
+def test_wide_records_stream(ray_session):
+    """Multi-KB content payloads stream through the full pipeline —
+    blocks stay bounded, no driver materialization (FIXTURES.md §A
+    wide-record path)."""
+    from mhdb_tables2turtles_ray.pipelines.kg import kg_triples
+    from mhdb_tables2turtles_ray.sources.corpus import synthesize_corpus
+
+    ds = synthesize_corpus(500, payload_repeat=60)  # ~6-12 KB rows
+    sample = ds.take(3)
+    assert all(len(r["content"]) > 4000 for r in sample)
+    n = kg_triples(ds, dedup_buckets=8).count()
+    assert n > 500
+
+
 def test_resume_ignores_partial_writes(ray_session, tmp_path):
     """A data file without a valid manifest (killed mid-write) must be
     treated as pending and rebuilt."""
