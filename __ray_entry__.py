@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reified_triples": kq.reified_doc_triples,
         "kg_subject_degree_salted": kq.subject_degree_salted,
         "kg_event_seq": kq.event_seq,
+        "kg_crosswalk_link": kq.crosswalk_link,
         "rel_supplier_region": kq.supplier_region,
         # --- dedup family ---
         "dedup_exact": dd.exact_dedup,
@@ -154,6 +155,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT ':User_' || user_id || '_Events',
                    'rdf:_' || rn, ':Event_' || event_id
             FROM r WHERE rn <= 5
+        """,
+        # Mirrors the deterministic 5-table waterfall in
+        # sources/vocab.py:crosswalk_tables — id ranges overlap, priority
+        # order tasks > implementations > indicators > conditions >
+        # contrasts; tasks/implementations are PascalCase-minted, the
+        # rest delimited; 'error' events carry an unknown reln → dropped.
+        "kg_crosswalk_link": """
+            WITH e AS (
+              SELECT user_id % 110 AS s, event_id % 110 AS o,
+                     CASE event_type
+                       WHEN 'click' THEN 'dcterms:isPartOf'
+                       WHEN 'purchase' THEN ':measuredBy'
+                       WHEN 'signup' THEN ':asserts'
+                       WHEN 'view' THEN 'rdfs:subClassOf'
+                     END AS pred
+              FROM events
+              WHERE event_type IN ('click', 'purchase', 'signup', 'view')
+            ),
+            named AS (
+              SELECT
+                CASE WHEN s < 30 THEN ':TasksNode' || s
+                     WHEN s < 50 THEN ':Task_ImplementationsNode' || s
+                     WHEN s < 70 THEN ':task_indicators_node_' || s
+                     WHEN s < 90 THEN ':task_conditions_node_' || s
+                     ELSE ':task_contrasts_node_' || s END AS subj,
+                pred,
+                CASE WHEN o < 30 THEN ':TasksNode' || o
+                     WHEN o < 50 THEN ':Task_ImplementationsNode' || o
+                     WHEN o < 70 THEN ':task_indicators_node_' || o
+                     WHEN o < 90 THEN ':task_conditions_node_' || o
+                     ELSE ':task_contrasts_node_' || o END AS obj
+              FROM e
+            )
+            SELECT DISTINCT subj, pred, obj FROM named
         """,
         "rel_supplier_region": """
             SELECT s_suppkey, r_name

@@ -158,6 +158,62 @@ def supplier_region(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["s_suppkey", "r_name"])
 
 
+# event_type → crosswalk relation for the J4 waterfall demo below; the
+# 'error' type maps to an UNKNOWN relation the resolver silently drops
+# (reference behavior for unmapped reln types, mhdb/ingest.py:2607-2646).
+_EVENT_RELN = {
+    "click": "PARTOF",
+    "purchase": "MEASUREDBY",
+    "signup": "ASSERTS",
+    "view": "KINDOF",
+    "error": "UNKNOWNTYPE",
+}
+
+
+def crosswalk_link(sf_dir: str) -> ray.data.Dataset:
+    """J4 entity-link waterfall under the oracle gate: events become
+    (reln_type, startNode, endNode) edges whose node ids are resolved
+    against the 5-table priority-union dictionary inside the
+    CrosswalkResolver actor pool; unknown relations drop."""
+    from ..sources.vocab import RELN_PREDICATES, crosswalk_tables
+    from ..stages.linker import CrosswalkResolver
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        relns = [
+            _EVENT_RELN.get(t, "UNKNOWNTYPE")
+            for t in batch.column("event_type").to_pylist()
+        ]
+        return pa.table(
+            {
+                "reln_type": pa.array(relns, pa.string()),
+                "startNode": pa.array(
+                    batch.column("user_id").to_numpy() % 110, pa.int64()
+                ),
+                "endNode": pa.array(
+                    batch.column("event_id").to_numpy() % 110, pa.int64()
+                ),
+            }
+        )
+
+    cw_ref = ray.put(crosswalk_tables())
+    edges = ds.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    triples = edges.map_batches(
+        CrosswalkResolver,
+        fn_constructor_kwargs={
+            "crosswalk_ref": cw_ref,
+            "reln_predicates": RELN_PREDICATES,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return dedup_triples(triples, num_buckets=16)
+
+
 # The language CASE mirrored in every oracle query (deterministic alias
 # dictionary, sources/vocab.py) — keep in sync with language_vocab().
 LANG_CASE_SQL = (
