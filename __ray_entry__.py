@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_props": rel.events_props_extract,
         "rel_events_enumerate": rel.events_enumerate,
         "rel_sessionize": rel.sessionize,
+        "rel_orders_semi": rel.orders_semi_join,
+        "rel_orders_anti": rel.orders_anti_join,
     }
 
 
@@ -341,6 +343,22 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                    ) AS BIGINT) AS ordinal
             FROM events
+        """,
+        "rel_orders_semi": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-07-01'
+            )
+        """,
+        "rel_orders_anti": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-07-01'
+            )
         """,
         "rel_sessionize": """
             WITH e AS (

@@ -260,6 +260,48 @@ def events_props_extract(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _orderkeys_shipped(sf_dir: str, lo: str, hi: str) -> set:
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        mask = pc.and_(
+            pc.greater_equal(sd, pa.scalar(np.datetime64(lo, "us"))),
+            pc.less(sd, pa.scalar(np.datetime64(hi, "us"))),
+        )
+        return (
+            batch.filter(mask)
+            .select(["l_orderkey"])
+            .group_by(["l_orderkey"])
+            .aggregate([])
+        )
+
+    return set(
+        ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True).unique(
+            "l_orderkey"
+        )
+    )
+
+
+def orders_semi_join(
+    sf_dir: str, lo: str = "1996-01-01", hi: str = "1996-07-01", anti: bool = False
+) -> ray.data.Dataset:
+    """Semi (or anti) join: orders that do (not) have a lineitem shipped
+    in the window — broadcast key-set filter, no shuffle on the big side."""
+    import numpy as np_  # noqa: F401  (np already imported module-level)
+
+    from ..stages.semijoin import semi_join
+
+    keys = np.fromiter(_orderkeys_shipped(sf_dir, lo, hi), dtype=np.int64)
+    ref = ray.put(keys)
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return semi_join(ds, "o_orderkey", ref, anti=anti)
+
+
+def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
+    return orders_semi_join(sf_dir, anti=True)
+
+
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Session windows per user (stream-shaped op on the ordered log):
     a new session starts when the gap from the previous event exceeds
