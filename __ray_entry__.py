@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": rel.sessionize,
         "rel_orders_semi": rel.orders_semi_join,
         "rel_orders_anti": rel.orders_anti_join,
+        "rel_asof_last_purchase": rel.asof_last_purchase,
+        "rel_approx_distinct_users": rel.approx_distinct_users,  # rows-only (sketch)
     }
 
 
@@ -359,6 +361,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                 AND l_shipdate < TIMESTAMP '1996-07-01'
             )
+        """,
+        "rel_asof_last_purchase": """
+            SELECT event_id, user_id,
+                   last_value(
+                     CASE WHEN event_type = 'purchase' THEN event_id END
+                     IGNORE NULLS
+                   ) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS last_purchase_event_id
+            FROM events
         """,
         "rel_sessionize": """
             WITH e AS (

@@ -302,6 +302,42 @@ def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
     return orders_semi_join(sf_dir, anti=True)
 
 
+def asof_last_purchase(sf_dir: str) -> ray.data.Dataset:
+    """As-of join (self, per key): for every event, the event_id of the
+    most recent purchase by the same user at-or-before it in the
+    deterministic (ts, event_id) order. groupby(user) + in-group ordered
+    forward-fill — the standard Ray Data as-of shape (sort within
+    buckets, merge/ffill with pandas)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        marker = g["event_id"].where(g["event_type"] == "purchase")
+        g["last_purchase_event_id"] = marker.ffill().astype("Int64")
+        return g[["event_id", "user_id", "last_purchase_event_id"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+def approx_distinct_users(sf_dir: str, p: int = 12) -> ray.data.Dataset:
+    """HyperLogLog approximate distinct user count (mergeable per-batch
+    sketches) next to the exact count — rows-only query; accuracy is
+    asserted in unit tests (±2% at p=12 for this cardinality)."""
+    from ..stages.sketch import approx_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=p)
+    exact = len(read_table(sf_dir, "events", columns=["user_id"]).unique("user_id"))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "approx_distinct": pa.array([round(est)], pa.int64()),
+                "exact_distinct": pa.array([exact], pa.int64()),
+            }
+        )
+    )
+
+
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Session windows per user (stream-shaped op on the ordered log):
     a new session starts when the gap from the previous event exceeds

@@ -1,0 +1,38 @@
+"""HyperLogLog sketch: accuracy, mergeability, distributed agreement."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mhdb_tables2turtles_ray.stages.sketch import HyperLogLog, approx_distinct
+
+
+def test_hll_accuracy():
+    hll = HyperLogLog(p=12)
+    hll.add(range(10_000))
+    est = hll.estimate()
+    assert abs(est - 10_000) / 10_000 < 0.05, est
+
+
+def test_hll_merge_equals_union():
+    a, b = HyperLogLog(p=12), HyperLogLog(p=12)
+    a.add(range(0, 6000))
+    b.add(range(4000, 10_000))  # overlapping
+    merged = a.merge(b)
+    whole = HyperLogLog(p=12)
+    whole.add(range(10_000))
+    assert np.array_equal(merged.registers, whole.registers)
+
+
+def test_hll_duplicates_dont_inflate():
+    hll = HyperLogLog(p=12)
+    hll.add([7] * 50_000)
+    assert hll.estimate() < 3
+
+
+def test_approx_distinct_dataset(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"u": i % 500} for i in range(20_000)]).repartition(8)
+    est = approx_distinct(ds, "u", p=12)
+    assert abs(est - 500) / 500 < 0.05, est
