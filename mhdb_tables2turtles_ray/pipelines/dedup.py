@@ -125,7 +125,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 200,
-    concurrency=(2, 8),
+    concurrency=(1, 8),
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -234,7 +234,7 @@ class SimHasher:
 
 def simhash_pairs(
     sf_dir: str, band_bits: int = 16, hamming_max: int = 3, max_bucket: int = 200,
-    concurrency=(2, 8),
+    concurrency=(1, 8),
 ) -> ray.data.Dataset:
     """Near-dup pairs via SimHash banding: docs sharing any 16-bit band
     are candidates; verified by Hamming distance ≤ ``hamming_max``."""

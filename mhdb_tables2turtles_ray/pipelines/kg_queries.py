@@ -49,7 +49,7 @@ def doc_triples(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
     ds = link_column(
         ds, ray.put(language_vocab()), column="lang", out_col="lang_canonical",
-        concurrency=2,
+        concurrency=(1, 4),
     )
     triples = emit_triples(ds, [_doc_spec()])
     return dedup_triples(triples, num_buckets=16)
@@ -77,7 +77,7 @@ def entity_link_lang(sf_dir: str) -> ray.data.Dataset:
         column="lang",
         out_col="canonical",
         unknown_value="UNKNOWN",
-        concurrency=2,
+        concurrency=(1, 4),
     )
     return out.select_columns(["doc_id", "canonical"])
 
@@ -209,7 +209,7 @@ def crosswalk_link(sf_dir: str) -> ray.data.Dataset:
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 4),
     )
     return dedup_triples(triples, num_buckets=16)
 

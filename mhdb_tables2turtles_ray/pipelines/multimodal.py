@@ -84,7 +84,7 @@ class MediaDecoder:
         )
 
 
-def payload_meta(sf_dir: str, concurrency=2, batch_size: int = 1024) -> ray.data.Dataset:
+def payload_meta(sf_dir: str, concurrency=(1, 4), batch_size: int = 1024) -> ray.data.Dataset:
     """(doc_id, n_bytes, sha256, width, height) via the decoder pool."""
     return binary_payloads(sf_dir).map_batches(
         MediaDecoder,

@@ -63,7 +63,7 @@ def link_column(
     column: str,
     out_col: str = "canonical",
     unknown_value: str | None = None,
-    concurrency=2,
+    concurrency=(1, 4),
     batch_size: int = 8192,
     **kwargs,
 ):
