@@ -95,6 +95,16 @@ def write_header(
     )
 
 
+def write_legacy_header_prefixes(prefixes: list[tuple[str, str]]) -> str:
+    """Legacy Turtle ``@prefix`` header dialect (reference
+    ``mhdb/write_rdf.py:47-74``): one ``@prefix p: <iri> .`` line per
+    pair, then ``@base`` derived from the FIRST prefix's IRI with its
+    final character stripped (quirk preserved). The live path uses the
+    SPARQL-style ``PREFIX`` dialect above."""
+    lines = "".join(f"@prefix {p}: <{iri}> .\n" for p, iri in prefixes)
+    return lines + f"@base <{prefixes[0][1][:-1]}> .\n"
+
+
 def materialize_turtle(
     triples,
     out_dir: str,

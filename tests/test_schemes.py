@@ -64,6 +64,20 @@ def test_scheme_predicate_matches(ref_rdf):
                 ), (left, c, rel)
 
 
+def test_legacy_header_prefixes_matches(ref_rdf):
+    from mhdb_tables2turtles_ray.stages.materialize import (
+        write_legacy_header_prefixes,
+    )
+
+    prefixes = [
+        ("mhdb", "http://w3id.org/mhdb#"),
+        ("owl", "http://www.w3.org/2002/07/owl#"),
+    ]
+    assert write_legacy_header_prefixes(prefixes) == ref_rdf.build_header_prefixes(
+        prefixes
+    )
+
+
 def test_gen_questions_matches(ref_unused):
     cases = [
         ("feels anxious", "Do you", "often?", "On a scale of 1-5,"),
