@@ -233,13 +233,14 @@ class TripleEmitter:
         for spec in self.specs:
             needed = [c for c in spec.columns() if c in batch.column_names]
             col_lists = [batch.column(c).to_pylist() for c in needed]
+            pre = self._precompute(spec, batch)
             emit_row = self._emit_row
             if needed:
-                for vals in zip(*col_lists):
-                    emit_row(spec, dict(zip(needed, vals)), emit)
+                for i, vals in enumerate(zip(*col_lists)):
+                    emit_row(spec, dict(zip(needed, vals)), i, pre, emit)
             else:  # constant-subject spec: one emission per input row
-                for _ in range(batch.num_rows):
-                    emit_row(spec, {}, emit)
+                for i in range(batch.num_rows):
+                    emit_row(spec, {}, i, pre, emit)
 
         return pa.table(
             {
@@ -249,7 +250,89 @@ class TripleEmitter:
             }
         )
 
-    def _emit_row(self, spec: EmissionSpec, row: dict, emit) -> None:
+    def _precompute(self, spec: EmissionSpec, batch: pa.Table) -> dict:
+        """Vectorized (Arrow-kernel) precomputation of the expensive
+        per-row string mints for the common shapes — delimited subject
+        minting, single-column lang labels, lang/iri literal columns.
+        The row loop then only gates and looks up. Divergence-safe: the
+        kernels route unicode/control-char values to the scalar fns
+        (functions/vectorized.py), and every pathological case (empty
+        after strip, excluded cells) is still decided per-row from the
+        RAW cell before a precomputed value is used."""
+        import string as _string
+
+        import pyarrow.compute as pc
+
+        from ..functions.vectorized import (
+            check_iri_delimited_vec,
+            language_string_vec,
+        )
+
+        n = batch.num_rows
+        pre = {"subject": None, "label": None, "lits": {}}
+        if n == 0:
+            return pre
+        schema = {f.name: f.type for f in batch.schema}
+
+        def _ok(t):
+            return pa.types.is_string(t) or pa.types.is_large_string(t) or (
+                pa.types.is_integer(t)
+            )
+
+        sfields = self._subject_fields[spec.name]
+        if (
+            spec.subject_casing == "delimited"
+            and spec.subject_truncate is None
+            and sfields
+            and all(f in schema and _ok(schema[f]) for f in sfields)
+        ):
+            parts = []
+            for lit_text, field, _, _ in _string.Formatter().parse(
+                spec.subject_template
+            ):
+                if lit_text:
+                    parts.append(pa.array([lit_text] * n, pa.string()))
+                if field:
+                    col = batch.column(field).combine_chunks()
+                    if not pa.types.is_string(col.type):
+                        col = pc.cast(col, pa.string())
+                    parts.append(col)
+            raw = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
+                *parts, ""
+            )
+            minted = check_iri_delimited_vec(raw).to_pylist()
+            nonempty = pc.not_equal(pc.utf8_trim_whitespace(raw), "").to_pylist()
+            pre["subject"] = [
+                m if ok else None for m, ok in zip(minted, nonempty)
+            ]
+
+        lt = spec.label_template
+        if (
+            lt
+            and lt.startswith("{")
+            and lt.endswith("}")
+            and lt.count("{") == 1
+            and lt[1:-1] in schema
+            and pa.types.is_string(schema[lt[1:-1]])
+        ):
+            pre["label"] = language_string_vec(
+                batch.column(lt[1:-1]).combine_chunks()
+            ).to_pylist()
+
+        for idx, lit in enumerate(spec.literals):
+            if lit.split is not None or lit.truncate is not None:
+                continue
+            t = schema.get(lit.column)
+            if t is None or not pa.types.is_string(t):
+                continue
+            col = batch.column(lit.column).combine_chunks()
+            if lit.kind == "lang":
+                pre["lits"][idx] = language_string_vec(col, lit.lang).to_pylist()
+            elif lit.kind == "iri" and lit.casing == "delimited":
+                pre["lits"][idx] = check_iri_delimited_vec(col).to_pylist()
+        return pre
+
+    def _emit_row(self, spec: EmissionSpec, row: dict, i: int, pre: dict, emit) -> None:
         # Gate the RAW cells feeding the subject (reference checks the cell
         # against exclude_list before any formatting — a Python None must
         # not leak in as the string "None"; only a literal "None" cell
@@ -257,41 +340,68 @@ class TripleEmitter:
         for f in self._subject_fields[spec.name]:
             if is_excluded(row.get(f)):
                 return
-        single = self._subject_single[spec.name]
-        if single is not None:
-            raw_subject = row.get(single)
-            if raw_subject is None:
+        pre_subject = pre["subject"]
+        if pre_subject is not None:
+            subject = pre_subject[i]
+            if subject is None:  # raw was empty after strip → row skipped
                 return
-            if raw_subject.__class__ is not str:
-                raw_subject = str(raw_subject)
         else:
-            try:
-                raw_subject = spec.subject_template.format(**row)
-            except (KeyError, IndexError):
+            single = self._subject_single[spec.name]
+            if single is not None:
+                raw_subject = row.get(single)
+                if raw_subject is None:
+                    return
+                if raw_subject.__class__ is not str:
+                    raw_subject = str(raw_subject)
+            else:
+                try:
+                    raw_subject = spec.subject_template.format(**row)
+                except (KeyError, IndexError):
+                    return
+            if is_excluded(raw_subject):
                 return
-        if is_excluded(raw_subject):
-            return
-        raw_subject = raw_subject.strip()
-        if not raw_subject:
-            return
-        if spec.subject_truncate is not None:
-            raw_subject = raw_subject[: spec.subject_truncate]
-        subject = check_iri(raw_subject, spec.subject_casing)
+            raw_subject = raw_subject.strip()
+            if not raw_subject:
+                return
+            if spec.subject_truncate is not None:
+                raw_subject = raw_subject[: spec.subject_truncate]
+            subject = check_iri(raw_subject, spec.subject_casing)
 
         if spec.rdf_type is not None:
             emit(subject, "a", spec.rdf_type)
         if spec.label_template is not None:
-            if not any(
-                is_excluded(row.get(f)) for f in self._label_fields[spec.name]
-            ):
-                raw_label = spec.label_template.format(**row)
-                if not is_excluded(raw_label) and raw_label.strip():
-                    emit(subject, "rdfs:label", language_string(raw_label))
+            lfields = self._label_fields[spec.name]
+            if not any(is_excluded(row.get(f)) for f in lfields):
+                pre_label = pre["label"]
+                if pre_label is not None:
+                    raw_label = row.get(lfields[0])
+                    if raw_label and raw_label.strip():
+                        rendered = pre_label[i]
+                        if rendered is not None:
+                            emit(subject, "rdfs:label", rendered)
+                else:
+                    raw_label = spec.label_template.format(**row)
+                    if not is_excluded(raw_label) and raw_label.strip():
+                        emit(subject, "rdfs:label", language_string(raw_label))
         for pred, obj in spec.statics:
             emit(subject, pred, obj)
-        for lit in spec.literals:
-            for obj in lit.render(row.get(lit.column)):
-                emit(subject, lit.predicate, obj)
+        pre_lits = pre["lits"]
+        for idx, lit in enumerate(spec.literals):
+            cell = row.get(lit.column)
+            if idx in pre_lits:
+                if is_excluded(cell):
+                    continue
+                if lit.kind == "iri" and isinstance(cell, str) and not cell.strip():
+                    # scalar path raises on empty labels — preserve
+                    for obj in lit.render(cell):
+                        emit(subject, lit.predicate, obj)
+                    continue
+                rendered = pre_lits[idx][i]
+                if rendered is not None:
+                    emit(subject, lit.predicate, rendered)
+            else:
+                for obj in lit.render(cell):
+                    emit(subject, lit.predicate, obj)
         for fk in spec.fks:
             self._emit_fk(spec, subject, fk, row.get(fk.column), emit)
 
