@@ -1,0 +1,52 @@
+"""CLI (`python -m mhdb_tables2turtles_ray build`) end-to-end in a
+fresh subprocess with its own Ray session."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    out = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_build_validate_and_resume(tmp_path):
+    out_dir = str(tmp_path / "kg")
+    first = _run(
+        [
+            "build",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out_dir,
+            "--partitions", "4",
+            "--validate",
+            "--num-cpus", "4",
+        ]
+    )
+    assert first["n_triples"] > 0
+    assert first["validation"]["shards"] == len(first["written"])
+    assert first["validation"]["triples"] == first["n_triples"]
+
+    second = _run(
+        [
+            "build",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out_dir,
+            "--partitions", "4",
+            "--num-cpus", "4",
+        ]
+    )
+    assert second["written"] == []
+    assert sorted(second["skipped"]) == sorted(first["written"])
