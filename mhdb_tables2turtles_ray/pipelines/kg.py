@@ -167,6 +167,49 @@ def kg_build(
     )
 
 
+def kg_build_modules(
+    corpus: ray.data.Dataset,
+    out_root: str,
+    modules: dict[str, tuple],
+    vocab: dict | None = None,
+    num_partitions: int = 16,
+    resume: bool = True,
+) -> dict[str, dict]:
+    """Multi-module build: the reference driver's per-module loop
+    (``mhdb/create_mhdb:175-218`` — states/disorders/.../chills, each
+    ingested into its own statements dict and written to its own .ttl)
+    re-expressed as independent spec-set builds sharing one vocabulary
+    bundle, each materialized to ``out_root/<module>/`` with its own
+    manifests (so modules resume independently).
+
+    ``modules``: {module_name: tuple[EmissionSpec, ...]}. Returns one
+    summary per module.
+    """
+    import os
+
+    vocab = vocab or build_vocab_bundle()
+    lang_ref = ray.put(vocab["languages"])
+    summaries = {}
+    for name, specs in modules.items():
+        ds = add_content_sha256(corpus)
+        ds = link_column(
+            ds, lang_ref, column="lang", out_col="lang_canonical",
+            concurrency=(1, 4),
+        )
+        triples = emit_triples(ds, specs)
+        triples = triples.union(ray.data.from_arrow(tbox_triples(vocab)))
+        summaries[name] = materialize_turtle(
+            triples,
+            os.path.join(out_root, name),
+            num_partitions=num_partitions,
+            resume=resume,
+            dedup=True,
+            base_uri=f"{vocab['base_uri']}/{name}",
+            prefixes=vocab["prefixes"],
+        )
+    return summaries
+
+
 def kg_from_documents(sf_dir: str, **kwargs) -> ray.data.Dataset:
     """Convenience: testdata documents table → KG triples Dataset."""
     return kg_triples(corpus_from_documents(sf_dir), **kwargs)

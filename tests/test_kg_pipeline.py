@@ -149,6 +149,41 @@ def test_materialize_and_resume(ray_session, tmp_path):
         assert meta["n_triples"] > 0 and meta["sha256"]
 
 
+def test_multi_module_build(ray_session, tmp_path):
+    """Per-module outputs with independent resume (reference driver loop
+    semantics, mhdb/create_mhdb:175-218)."""
+    from mhdb_tables2turtles_ray.pipelines.kg import corpus_specs, kg_build_modules
+    from mhdb_tables2turtles_ray.sources.corpus import corpus_from_documents
+    from mhdb_tables2turtles_ray.stages.emit import EmissionSpec
+
+    corpus = corpus_from_documents("/root/testdata/sf0.001")
+    repos_only = EmissionSpec(
+        name="repository",
+        subject_template="{repo}",
+        subject_casing="delimited",
+        rdf_type=":Repository",
+        label_template="{repo}",
+    )
+    out_root = str(tmp_path / "modules")
+    summaries = kg_build_modules(
+        corpus,
+        out_root,
+        {"files": corpus_specs(), "repos": (repos_only,)},
+        num_partitions=4,
+    )
+    assert set(summaries) == {"files", "repos"}
+    assert summaries["files"]["n_triples"] > summaries["repos"]["n_triples"] > 0
+    assert os.path.exists(os.path.join(out_root, "repos", "header.ttl"))
+    # modules resume independently
+    again = kg_build_modules(
+        corpus_from_documents("/root/testdata/sf0.001"),
+        out_root,
+        {"repos": (repos_only,)},
+        num_partitions=4,
+    )
+    assert again["repos"]["written"] == []
+
+
 def test_turtle_render_matches_reference_format(ray_session):
     """Our renderer's block format == reference turtle_from_dict."""
     import importlib.util
