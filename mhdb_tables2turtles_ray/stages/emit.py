@@ -131,13 +131,17 @@ class ForeignKey:
 
     ``lookup`` names a ``{int: str}`` dict in the emitter's lookup
     bundle; each resolved value is minted with ``casing`` (or formatted
-    as a typed literal when ``as_literal`` is set)."""
+    as a typed literal when ``as_literal`` is set). ``default`` is
+    emitted verbatim when the FK cell is empty/excluded — the
+    reference's else-branch fallback (e.g. ``rdfs:subClassOf :Language``
+    when a language has no parent, mhdb/ingest.py:1719-1720)."""
 
     column: str
     predicate: str
     lookup: str
     casing: str = "PascalCase"
     as_literal: str | None = None
+    default: str | None = None
 
 
 @dataclass(frozen=True)
@@ -418,6 +422,8 @@ class TripleEmitter:
                 )
             return
         if keys is None:
+            if fk.default is not None:
+                emit(subject, fk.predicate, fk.default)
             return
         for key in keys:
             value = table.get(key)
