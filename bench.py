@@ -121,6 +121,9 @@ def run_benchmarks() -> dict:
     bench("mm_payload_meta", mm.payload_meta)
     bench("rel_pricing_summary", rel.pricing_summary)
     bench("rel_sessionize", rel.sessionize)
+    bench("rel_asof_last_purchase", rel.asof_last_purchase)
+    bench("rel_orders_semi", rel.orders_semi_join)
+    bench("kg_crosswalk_link", kq.crosswalk_link)
 
     return {
         "metric": "kg_build_wall_sec",

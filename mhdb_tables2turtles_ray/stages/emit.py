@@ -90,6 +90,11 @@ class Literal:
         mhdb/ingest.py:3094-3103)
     split: explode the cell on this delimiter first (alias /
       equivalentClasses columns, reference mhdb/ingest.py:1373-1391).
+    template: a format string over the whole ROW used instead of
+      ``column`` — enables reverse-edge emission where the object is a
+      composite mint of other columns (the reference's
+      task→implementation reverse triple, mhdb/ingest.py:2405-2407).
+      All referenced cells are exclude-gated like subject fields.
     """
 
     column: str
@@ -99,6 +104,16 @@ class Literal:
     casing: str = "delimited"
     truncate: int | None = None
     split: str | None = None
+    template: str | None = None
+
+    def render_template(self, row: dict) -> list[str]:
+        import string as _string
+
+        fields = [f[1] for f in _string.Formatter().parse(self.template) if f[1]]
+        if any(is_excluded(row.get(f)) for f in fields):
+            return []
+        value = self.template.format(**row)
+        return self.render(value)
 
     def render(self, value) -> list[str]:
         if is_excluded(value):
@@ -165,7 +180,10 @@ class EmissionSpec:
         cols = {f[1] for f in fmt.parse(self.subject_template) if f[1]}
         if self.label_template:
             cols |= {f[1] for f in fmt.parse(self.label_template) if f[1]}
-        cols |= {lit.column for lit in self.literals}
+        cols |= {lit.column for lit in self.literals if lit.column}
+        for lit in self.literals:
+            if lit.template:
+                cols |= {f[1] for f in fmt.parse(lit.template) if f[1]}
         cols |= {fk.column for fk in self.fks}
         return cols
 
@@ -403,6 +421,9 @@ class TripleEmitter:
                 rendered = pre_lits[idx][i]
                 if rendered is not None:
                     emit(subject, lit.predicate, rendered)
+            elif lit.template is not None:
+                for obj in lit.render_template(row):
+                    emit(subject, lit.predicate, obj)
             else:
                 for obj in lit.render(cell):
                     emit(subject, lit.predicate, obj)
