@@ -294,20 +294,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST((({octet} + 63) // 64 + 3) // 4 AS BIGINT) AS n_sampled
             FROM documents
         """,
+        # fixed-point (integer-cents) aggregation on BOTH sides — float
+        # sums of ~1e9 magnitudes are order-dependent beyond the cent
+        # boundary, so exact matching requires exact integer sums
         "rel_pricing_summary": """
+            WITH t AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                     CAST(round((1 - l_discount) * 100) AS BIGINT) AS dunits
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
-                   round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+                   round(CAST(sum(qty) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+                   round(CAST(sum(cents * dunits) AS DOUBLE) / 10000.0, 2)
+                     AS sum_disc_price,
+                   round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*), 6)
+                     AS avg_price,
                    CAST(count(*) AS BIGINT) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
+            FROM t GROUP BY l_returnflag, l_linestatus
         """,
         "rel_revenue_by_nation": """
-            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+            SELECT n_name,
+                   round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -330,7 +343,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   round(sum(value), 2) AS sum_value,
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                         / 100.0, 2) AS sum_value,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
         """,

@@ -47,36 +47,48 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> ray.data.Dataset
         ],
     )
 
+    # Fixed-point aggregation: monetary columns are exact 2-decimal
+    # values, so summing integer cents (and cents × discount-units for
+    # the product) is EXACT and order-independent — floating-point sums
+    # of ~1e9 magnitudes differ across summation orders by more than a
+    # cent-rounding boundary (observed at sf0.1), so the oracle match
+    # requires integer aggregation, not rounding.
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
             pc.less_equal(batch.column("l_shipdate"), pa.scalar(np.datetime64(cutoff, "us")))
         )
-        disc_price = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        qty = np.rint(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        cents = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype(
+            np.int64
         )
-        batch = batch.append_column("disc_price", disc_price)
-        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [
-                ("l_quantity", "sum"),
-                ("l_extendedprice", "sum"),
-                ("disc_price", "sum"),
-                ("l_quantity", "count"),
-            ]
+        dunits = np.rint(
+            (1.0 - batch.column("l_discount").to_numpy()) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "cents": pa.array(cents),
+                "disc_fp": pa.array(cents * dunits),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("cents", "sum"), ("disc_fp", "sum"), ("qty", "count")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity_sum", alias_name="sum_qty_raw"),
-        Sum("l_extendedprice_sum", alias_name="sum_base_raw"),
-        Sum("disc_price_sum", alias_name="sum_disc_raw"),
-        Sum("l_quantity_count", alias_name="count_order"),
+        Sum("qty_sum", alias_name="sum_qty_i"),
+        Sum("cents_sum", alias_name="sum_cents"),
+        Sum("disc_fp_sum", alias_name="sum_disc_fp"),
+        Sum("qty_count", alias_name="count_order"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        qty = batch.column("sum_qty_raw").to_numpy()
-        base = batch.column("sum_base_raw").to_numpy()
-        disc = batch.column("sum_disc_raw").to_numpy()
+        qty = batch.column("sum_qty_i").to_numpy().astype(np.float64)
+        base = batch.column("sum_cents").to_numpy() / 100.0
+        disc = batch.column("sum_disc_fp").to_numpy() / 10000.0
         cnt = batch.column("count_order").to_numpy().astype(np.int64)
         return pa.table(
             {
@@ -117,20 +129,20 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         names = [
             nmap.get(cmap.get(ck)) for ck in batch.column("o_custkey").to_pylist()
         ]
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(
+            np.int64
+        )  # fixed-point: exact, order-independent sums
         t = pa.table(
-            {
-                "n_name": pa.array(names, pa.string()),
-                "o_totalprice": batch.column("o_totalprice"),
-            }
+            {"n_name": pa.array(names, pa.string()), "cents": pa.array(cents)}
         )
         return t.group_by(["n_name"]).aggregate(
-            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            [("cents", "sum"), ("cents", "count")]
         )
 
     partials = ds.map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
     final = partials.groupby("n_name").aggregate(
-        Sum("o_totalprice_sum", alias_name="revenue_raw"),
-        Sum("o_totalprice_count", alias_name="n_orders"),
+        Sum("cents_sum", alias_name="revenue_cents"),
+        Sum("cents_count", alias_name="n_orders"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -138,7 +150,9 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
             {
                 "n_name": batch.column("n_name"),
                 "revenue": pa.array(
-                    round_half_away(batch.column("revenue_raw").to_numpy(), 2)
+                    round_half_away(
+                        batch.column("revenue_cents").to_numpy() / 100.0, 2
+                    )
                 ),
                 "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
             }
@@ -209,21 +223,22 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        cents = np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
         t = pa.table(
             {
                 "hour": hour,
                 "event_type": batch.column("event_type"),
-                "value": batch.column("value"),
+                "cents": pa.array(cents),  # fixed-point: exact sums
             }
         )
         return t.group_by(["hour", "event_type"]).aggregate(
-            [("value", "sum"), ("value", "count")]
+            [("cents", "sum"), ("cents", "count")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     final = partials.groupby(["hour", "event_type"]).aggregate(
-        Sum("value_sum", alias_name="value_raw"),
-        Sum("value_count", alias_name="n_events"),
+        Sum("cents_sum", alias_name="value_cents"),
+        Sum("cents_count", alias_name="n_events"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -232,7 +247,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
                 "hour": batch.column("hour"),
                 "event_type": batch.column("event_type"),
                 "sum_value": pa.array(
-                    round_half_away(batch.column("value_raw").to_numpy(), 2)
+                    round_half_away(batch.column("value_cents").to_numpy() / 100.0, 2)
                 ),
                 "n_events": pc.cast(batch.column("n_events"), pa.int64()),
             }
