@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": sim.ann_topk,
         "ann_ivf": sim.ann_ivf,  # rows-only (approximate by construction)
+        "ann_ivf_kmeans": sim.ann_ivf_kmeans,  # rows-only (trained IVF, iterative)
         # --- text analysis ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,

@@ -93,6 +93,79 @@ def ann_topk(sf_dir: str, k: int = 5, num_queries: int = 8) -> ray.data.Dataset:
     )
 
 
+def ann_ivf_kmeans(
+    sf_dir: str, k: int = 5, num_queries: int = 8, n_clusters: int = 8, nprobe: int = 2
+) -> ray.data.Dataset:
+    """IVF with TRAINED coarse centroids (distributed Lloyd k-means,
+    stages/kmeans.py) instead of the given ``label`` partitions: fit →
+    assign clusters (streamed) → probe the ``nprobe`` nearest clusters
+    per query → partial/final top-k within the probed subset."""
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_fit(base, k=n_clusters, iterations=4)
+    cnorm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    qids, qmat = _query_block(sf_dir, num_queries)
+    sims_qc = qmat @ cnorm.T
+    probe: dict[int, set[int]] = {}
+    for qi in range(len(qids)):
+        for t in np.argsort(-sims_qc[qi])[:nprobe]:
+            probe.setdefault(int(t), set()).add(qi)
+
+    assigned = kmeans_assign(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), centroids
+    )
+    import pyarrow.compute as pc
+
+    probed = assigned.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("cluster"), pa.array(sorted(probe), pa.int64()))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    qref = ray.put((qids, qmat, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q, probe_map = ray.get(qref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        clusters = np.asarray(batch.column("cluster").to_pylist(), dtype=np.int64)
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        cos = mat_q @ emb.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            allowed = np.array(
+                [qi in probe_map.get(int(cl), ()) for cl in clusters]
+            )
+            allowed &= vids != ids_q[qi]
+            cand = np.nonzero(allowed)[0]
+            if len(cand) == 0:
+                continue
+            order = cand[np.lexsort((vids[cand], -cos[qi][cand]))][:k]
+            out_q.extend([int(ids_q[qi])] * len(order))
+            out_v.extend(vids[order].tolist())
+            out_s.extend(cos[qi][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = probed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
 def ann_ivf(
     sf_dir: str, k: int = 5, num_queries: int = 8, nprobe: int = 2
 ) -> ray.data.Dataset:

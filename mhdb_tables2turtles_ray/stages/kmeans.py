@@ -1,0 +1,86 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+The iterative-algorithm shape on Ray Data: each iteration is ONE pass —
+``map_batches`` computes per-batch partial sums/counts per centroid
+(combiner), the tiny partials reduce on the driver, centroids update,
+repeat. No shuffle ever touches the vectors; per-iteration traffic is
+``k × dim`` floats per batch. Deterministic: centroids initialize from
+the first ``k`` vectors in ``vec_id`` order and iterate a fixed number
+of rounds (no RNG, no convergence-dependent stop)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _batch_matrix(batch: pa.Table) -> np.ndarray:
+    return np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+    )
+
+
+def kmeans_fit(
+    ds,
+    k: int = 8,
+    iterations: int = 5,
+    id_column: str = "vec_id",
+) -> np.ndarray:
+    """Fit ``k`` centroids over ``ds``'s ``embedding`` column; returns
+    the (k, dim) centroid matrix."""
+    # deterministic init: the k smallest ids (a bare limit() would pick
+    # whichever blocks finished first under streaming execution)
+    init_rows = ds.sort(id_column).limit(k).take_all()
+    centroids = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in init_rows]
+    )
+
+    for _ in range(iterations):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            x = _batch_matrix(batch)
+            # nearest centroid by squared euclidean (argmin over k)
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, x)
+            np.add.at(counts, assign, 1)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "count": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # k rows per batch — tiny
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in parts:
+            sums[row["cluster"]] += np.asarray(row["sum"])
+            counts[row["cluster"]] += row["count"]
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    return centroids
+
+
+def kmeans_assign(ds, centroids: np.ndarray, out_col: str = "cluster"):
+    """Append each row's nearest-centroid id (one streamed pass)."""
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _batch_matrix(batch)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            out_col, pa.array(d2.argmin(axis=1).astype(np.int64))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,67 @@
+"""Distributed k-means: determinism, clustering quality, trained IVF."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def blob_ds(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    # 3 well-separated deterministic blobs of 64-dim vectors
+    rng = np.random.RandomState(3)
+    centers = np.array([[5.0] + [0.0] * 63, [0.0] * 32 + [5.0] + [0.0] * 31, [-5.0] + [0.0] * 63])
+    vecs, labels = [], []
+    for i in range(300):
+        c = i % 3
+        vecs.append((centers[c] + rng.normal(0, 0.2, 64)).tolist())
+        labels.append(c)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            "true_label": pa.array(labels, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t), labels
+
+
+def test_kmeans_recovers_blobs(blob_ds):
+    from mhdb_tables2turtles_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds, true_labels = blob_ds
+    centroids = kmeans_fit(ds.repartition(6), k=3, iterations=6)
+    out = kmeans_assign(ds, centroids).to_pandas().sort_values("vec_id")
+    # cluster ids are arbitrary — check purity: each true blob maps to
+    # exactly one cluster
+    purity = (
+        out.groupby("true_label")["cluster"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .min()
+    )
+    assert purity == 1.0
+
+
+def test_kmeans_deterministic(blob_ds):
+    from mhdb_tables2turtles_ray.stages.kmeans import kmeans_fit
+
+    ds, _ = blob_ds
+    a = kmeans_fit(ds.repartition(4), k=3, iterations=3)
+    b = kmeans_fit(ds.repartition(7), k=3, iterations=3)
+    assert np.allclose(a, b, atol=1e-9)  # block structure must not matter
+
+
+def test_ann_ivf_kmeans_runs(ray_session):
+    from mhdb_tables2turtles_ray.pipelines.similarity import ann_ivf_kmeans, ann_topk
+
+    approx = ann_ivf_kmeans("/root/testdata/sf0.001").to_pandas()
+    exact = ann_topk("/root/testdata/sf0.001").to_pandas()
+    assert len(approx) > 0
+    # recall@5 of the trained-IVF path vs exact brute force
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    recall = len(a & e) / len(e)
+    assert recall > 0.2, recall  # approximate by construction; sanity bound
