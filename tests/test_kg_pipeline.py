@@ -125,6 +125,13 @@ def test_materialize_and_resume(ray_session, tmp_path):
 
     first = merged_triples()
     assert len(first) == summary["n_triples"]
+    # round-trip: the serialized shards parse back to EXACTLY the
+    # pipeline's deduplicated triple set
+    from mhdb_tables2turtles_ray.pipelines.kg import kg_triples
+
+    assert first == _triple_set(
+        kg_triples(corpus_from_documents("/root/testdata/sf0.001"))
+    )
 
     # kill-and-resume: invalidate two partitions, rerun
     for pid in summary["written"][:2]:
