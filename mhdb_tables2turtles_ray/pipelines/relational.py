@@ -320,18 +320,38 @@ def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
 def asof_last_purchase(sf_dir: str) -> ray.data.Dataset:
     """As-of join (self, per key): for every event, the event_id of the
     most recent purchase by the same user at-or-before it in the
-    deterministic (ts, event_id) order. groupby(user) + in-group ordered
-    forward-fill — the standard Ray Data as-of shape (sort within
-    buckets, merge/ffill with pandas)."""
+    deterministic (ts, event_id) order. Coarse-bucketed grouped map
+    (``stages/grouped.py`` — one task per hash bucket, not per user) +
+    in-group ordered forward-fill.
+
+    The ffill column stays float64 (NaN = no prior purchase) through the
+    pandas stage and is cast NaN→null→int64 in a trailing pyarrow stage:
+    pandas' nullable ``Int64`` extension dtype does not round-trip to
+    Arrow ``int64`` through the block layer (observed: schema reports the
+    column type as None and the materialized hash diverges)."""
+    from ..stages.grouped import grouped_map
+
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
         marker = g["event_id"].where(g["event_type"] == "purchase")
-        g["last_purchase_event_id"] = marker.ffill().astype("Int64")
+        g["last_purchase_event_id"] = marker.ffill()
         return g[["event_id", "user_id", "last_purchase_event_id"]]
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    out = grouped_map(ds, "user_id", asof)
+
+    def cast_out(t: pa.Table) -> pa.Table:
+        col = t.column("last_purchase_event_id")
+        if pa.types.is_floating(col.type):
+            col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
+        return t.set_column(
+            t.schema.get_field_index("last_purchase_event_id"),
+            "last_purchase_event_id",
+            pc.cast(col, pa.int64()),
+        )
+
+    return out.map_batches(cast_out, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def approx_distinct_users(sf_dir: str, p: int = 12) -> ray.data.Dataset:
@@ -357,7 +377,9 @@ def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Session windows per user (stream-shaped op on the ordered log):
     a new session starts when the gap from the previous event exceeds
     ``gap_seconds``. Output: (user_id, session_id, n_events,
-    first_event_id). groupby(user) + in-group ordered scan."""
+    first_event_id). Coarse-bucketed grouped map + in-group ordered scan."""
+    from ..stages.grouped import grouped_map
+
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -372,4 +394,4 @@ def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
         agg["user_id"] = g["user_id"].iloc[0]
         return agg[["user_id", "session_id", "n_events", "first_event_id"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return grouped_map(ds, "user_id", sessions)

@@ -4,14 +4,16 @@ The reference keeps a running per-questionnaire question counter whose
 value feeds the subject IRI (``{questionnaire}_Q{n}``, reference
 ``mhdb/ingest.py:2125-2140``) — order-sensitive driver-loop state. Under
 parallelism that must NOT depend on block arrival order, so it becomes a
-``groupby(key).map_groups`` with a stable in-group sort on an explicit
-ordinal column (carried from the source), exactly as SURVEY.md §2.3 ST2
-prescribes.
+coarse-bucketed grouped map (``stages/grouped.py``) with a stable
+in-group sort on an explicit ordinal column (carried from the source),
+exactly as SURVEY.md §2.3 ST2 prescribes.
 """
 
 from __future__ import annotations
 
 import pandas as pd
+
+from .grouped import grouped_map
 
 
 def enumerate_in_groups(
@@ -25,9 +27,10 @@ def enumerate_in_groups(
     ``order_by`` (a deterministic total order — include a unique
     tiebreaker column).
 
-    This is a shuffle on ``group_key``; group size must fit a worker
-    (true for per-questionnaire/per-user groups; salt or window by range
-    if a key ever exceeds block size).
+    This is a shuffle on a coarse hash bucket of ``group_key`` (one task
+    per bucket, fine keys grouped with pandas inside); group size must
+    fit a worker (true for per-questionnaire/per-user groups; salt or
+    window by range if a key ever exceeds block size).
     """
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
@@ -35,4 +38,4 @@ def enumerate_in_groups(
         g[out_col] = range(start, start + len(g))
         return g
 
-    return ds.groupby(group_key).map_groups(rank, batch_format="pandas")
+    return grouped_map(ds, group_key, rank)

@@ -5,15 +5,18 @@ statements into *sourced* vs *unsourced* graphs by whether the subject
 carries a ``dcterms:isReferencedBy`` statement
 (``mhdb/unused_functions.py:611-749``, ``structure_to_keep``).
 
-Distributed shape: one groupby(subject) shuffle flags every subject's
-triples together (the provenance predicate must see all of a subject's
-triples to classify them); the result carries a ``sourced`` flag column
-so downstream can ``filter`` either side — or materialize each side to
-its own directory — without re-running the pipeline."""
+Distributed shape: one coarse-bucketed shuffle on the subject
+(``stages/grouped.py``) flags every subject's triples together (the
+provenance predicate must see all of a subject's triples to classify
+them); the result carries a ``sourced`` flag column so downstream can
+``filter`` either side — or materialize each side to its own directory —
+without re-running the pipeline."""
 
 from __future__ import annotations
 
 import pandas as pd
+
+from .grouped import grouped_map
 
 
 def flag_sourced(
@@ -27,4 +30,4 @@ def flag_sourced(
         g["sourced"] = bool((g["pred"] == provenance_predicate).any())
         return g
 
-    return triples.groupby("subj").map_groups(flag, batch_format="pandas")
+    return grouped_map(triples, "subj", flag)
