@@ -21,6 +21,28 @@ def _batch_matrix(batch: pa.Table) -> np.ndarray:
     )
 
 
+def _min_k_rows(ds, k: int, id_column: str) -> list[dict]:
+    """The k rows with the smallest ``id_column``, via partial/final
+    top-k: each batch keeps its own k smallest (argpartition — no full
+    sort anywhere), the ≤ k×num_batches survivors merge on the driver.
+    No shuffle ever touches the vectors; a ``ds.sort(id).limit(k)``
+    would move every embedding through an all-to-all exchange to pick
+    k rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy()
+        if len(ids) > k:
+            keep = np.argpartition(ids, k)[:k]
+            batch = batch.take(pa.array(np.sort(keep)))
+        return batch.select([id_column, "embedding"])
+
+    survivors = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    survivors.sort(key=lambda r: r[id_column])
+    return survivors[:k]
+
+
 def kmeans_fit(
     ds,
     k: int = 8,
@@ -31,7 +53,7 @@ def kmeans_fit(
     the (k, dim) centroid matrix."""
     # deterministic init: the k smallest ids (a bare limit() would pick
     # whichever blocks finished first under streaming execution)
-    init_rows = ds.sort(id_column).limit(k).take_all()
+    init_rows = _min_k_rows(ds, k, id_column)
     centroids = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in init_rows]
     )
