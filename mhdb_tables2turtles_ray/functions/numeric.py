@@ -18,3 +18,33 @@ def round_half_away(x, ndigits: int):
     arr = np.asarray(x, dtype=np.float64)
     scale = 10.0 ** ndigits
     return np.copysign(np.floor(np.abs(arr) * scale + 0.5) / scale, arr)
+
+
+def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Arrow ``list<float>`` column → dense (n_rows, dim) ndarray.
+
+    Zero-copy-ish fast path when all lists share one length (the
+    embedding-table invariant): one buffer view + reshape instead of a
+    per-row Python materialization — the hot-path prep for every
+    matmul-per-batch similarity op. Falls back to the row-wise path for
+    ragged or null-bearing columns.
+    """
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type) and arr.null_count == 0:
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), arr.type.list_size).astype(dtype, copy=False)
+    if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)) and (
+        arr.null_count == 0
+    ):
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            return (
+                flat[offsets[0] : offsets[-1]]
+                .reshape(len(arr), widths[0])
+                .astype(dtype, copy=False)
+            )
+    return np.asarray([np.asarray(v, dtype=dtype) for v in arr.to_pylist()])

@@ -354,12 +354,12 @@ def embedding_near_dup(
     ref = ray.put((qids, qmat))
 
     def sims(batch: pa.Table) -> pa.Table:
+        from ..functions.numeric import list_column_to_matrix
+
         ids_q, mat_q = ray.get(ref)
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
-        )
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        vids = batch.column("vec_id").to_numpy()
+        emb = list_column_to_matrix(batch.column("embedding"))
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         cos = round_half_away(emb @ mat_q.T, 6)  # round BEFORE the threshold so
         # membership is FP-stable cross-engine (oracle filters rounded too)
         out_q, out_v, out_c = [], [], []

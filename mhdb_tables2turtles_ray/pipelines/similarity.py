@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.numeric import round_half_away
+from ..functions.numeric import list_column_to_matrix, round_half_away
 from ..sources.tables import read_table
 
 
@@ -38,11 +38,9 @@ def _query_block(sf_dir: str, num_queries: int):
 def _partial_topk_fn(ref, k: int):
     def partial(batch: pa.Table) -> pa.Table:
         qids, qmat = ray.get(ref)
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
-        )
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        vids = batch.column("vec_id").to_numpy()
+        emb = list_column_to_matrix(batch.column("embedding"))
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         cos = qmat @ emb.T  # (n_query, batch)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids)):
@@ -132,12 +130,10 @@ def ann_ivf_kmeans(
 
     def partial(batch: pa.Table) -> pa.Table:
         ids_q, mat_q, probe_map = ray.get(qref)
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        clusters = np.asarray(batch.column("cluster").to_pylist(), dtype=np.int64)
-        emb = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
-        )
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        vids = batch.column("vec_id").to_numpy()
+        clusters = batch.column("cluster").to_numpy()
+        emb = list_column_to_matrix(batch.column("embedding"))
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         cos = mat_q @ emb.T
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids_q)):
@@ -173,19 +169,37 @@ def ann_ivf(
     partitions whose centroids are nearest each query. Approximate by
     construction (recall < 1 when the true neighbor lives in an
     unprobed partition) — benchmarked against :func:`ann_topk`."""
-    # coarse centroids: tiny groupby over the label partitions
-    def centroid(g: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
-        return pd.DataFrame({"label": [g["label"].iloc[0]], "centroid": [m.tolist()]})
+    # coarse centroids via partial/final mean: each batch emits per-label
+    # (sum, count) partials, the tiny partials merge on the driver — no
+    # shuffle ever touches the vectors (a groupby(label).map_groups here
+    # would all-to-all the whole embedding table to compute a handful of
+    # means).
+    def centroid_partial(batch: pa.Table) -> pa.Table:
+        labs = batch.column("label").to_numpy()
+        emb = list_column_to_matrix(batch.column("embedding"))
+        uniq, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(uniq), emb.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, emb)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "count": pa.array(counts),
+            }
+        )
 
-    cents = (
+    parts = (
         read_table(sf_dir, "embeddings", columns=["label", "embedding"])
-        .groupby("label")
-        .map_groups(centroid, batch_format="pandas")
+        .map_batches(centroid_partial, batch_format="pyarrow", zero_copy_batch=True)
         .take_all()
     )
-    labels = np.array([c["label"] for c in cents])
-    cmat = np.stack([np.asarray(c["centroid"], dtype=np.float64) for c in cents])
+    acc: dict[int, list] = {}
+    for row in parts:
+        s, c = acc.setdefault(int(row["label"]), [0.0, 0])
+        acc[int(row["label"])] = [s + np.asarray(row["sum"]), c + row["count"]]
+    labels = np.array(sorted(acc), dtype=np.int64)
+    cmat = np.stack([acc[la][0] / acc[la][1] for la in labels])
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
 
     qids, qmat = _query_block(sf_dir, num_queries)
@@ -211,12 +225,10 @@ def ann_ivf(
 
     def partial(batch: pa.Table) -> pa.Table:
         ids_q, mat_q, probe_map = ray.get(qref)
-        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        labs = np.asarray(batch.column("label").to_pylist())
-        emb = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
-        )
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        vids = batch.column("vec_id").to_numpy()
+        labs = batch.column("label").to_numpy()
+        emb = list_column_to_matrix(batch.column("embedding"))
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         cos = mat_q @ emb.T
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids_q)):

@@ -16,9 +16,9 @@ import ray
 
 
 def _batch_matrix(batch: pa.Table) -> np.ndarray:
-    return np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
-    )
+    from ..functions.numeric import list_column_to_matrix
+
+    return list_column_to_matrix(batch.column("embedding"))
 
 
 def _min_k_rows(ds, k: int, id_column: str) -> list[dict]:
