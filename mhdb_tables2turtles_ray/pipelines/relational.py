@@ -275,7 +275,8 @@ def events_props_extract(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _orderkeys_shipped(sf_dir: str, lo: str, hi: str) -> set:
+def _orderkeys_shipped(sf_dir: str, lo: str, hi: str) -> ray.data.Dataset:
+    """Dataset of per-batch-distinct shipped orderkeys in the window."""
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
 
     def keys(batch: pa.Table) -> pa.Table:
@@ -291,24 +292,32 @@ def _orderkeys_shipped(sf_dir: str, lo: str, hi: str) -> set:
             .aggregate([])
         )
 
-    return set(
-        ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True).unique(
-            "l_orderkey"
-        )
-    )
+    return ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def orders_semi_join(
-    sf_dir: str, lo: str = "1996-01-01", hi: str = "1996-07-01", anti: bool = False
+    sf_dir: str,
+    lo: str = "1996-01-01",
+    hi: str = "1996-07-01",
+    anti: bool = False,
+    exact_threshold: int = 4_000_000,
 ) -> ray.data.Dataset:
     """Semi (or anti) join: orders that do (not) have a lineitem shipped
-    in the window — broadcast key-set filter, no shuffle on the big side."""
-    import numpy as np_  # noqa: F401  (np already imported module-level)
+    in the window — broadcast key-filter, no shuffle on the big side.
 
-    from ..stages.semijoin import semi_join
+    The key filter defaults to the scale-safe side automatically
+    (``stages/semijoin.py:build_key_filter``): exact ndarray under
+    ``exact_threshold`` distinct keys, distributed Bloom filter above.
+    Anti join always forces the exact path — Bloom false positives would
+    silently DROP matching rows from an anti join."""
+    from ..stages.semijoin import build_key_filter, semi_join
 
-    keys = np.fromiter(_orderkeys_shipped(sf_dir, lo, hi), dtype=np.int64)
-    ref = ray.put(keys)
+    key_filter = build_key_filter(
+        _orderkeys_shipped(sf_dir, lo, hi),
+        "l_orderkey",
+        exact_threshold=None if anti else exact_threshold,
+    )
+    ref = ray.put(key_filter)
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     return semi_join(ds, "o_orderkey", ref, anti=anti)
 

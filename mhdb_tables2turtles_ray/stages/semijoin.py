@@ -1,11 +1,15 @@
 """Semi / anti joins as broadcast key-set filters.
 
 The small side's key set is broadcast once (``ray.put``) and each batch
-filters vectorized with numpy membership — no shuffle. For key sets too
-large to broadcast exactly, :class:`BloomFilter` gives a fixed-size
-approximate membership structure (semi join keeps false positives /
-anti join loses them at the configured fpp — the classic trade; the
-exact variant is the default and what the SQL oracle checks)."""
+filters vectorized with numpy membership — no shuffle.
+:func:`build_key_filter` picks the representation by measured size:
+exact ndarray below the threshold, :class:`BloomFilter` above it — so
+the scale-safe path is the DEFAULT, not an option. The Bloom build is
+itself distributed (per-batch partial filters OR-merged on the driver;
+fixed-size rows, keys never collect). Semi join keeps Bloom false
+positives / anti join would lose them at the configured fpp — the
+classic trade — so anti joins must pass ``exact=True`` (or accept the
+approximation explicitly)."""
 
 from __future__ import annotations
 
@@ -46,6 +50,41 @@ class BloomFilter:
             word = self.bits[(row >> np.uint64(6)).astype(np.int64)]
             out &= (word >> (row & np.uint64(63))) & np.uint64(1) != 0
         return out
+
+
+def build_key_filter(
+    keys_ds,
+    column: str,
+    exact_threshold: int = 4_000_000,
+    fpp: float = 1e-4,
+):
+    """Distributed small-side build for :func:`semi_join`.
+
+    ``keys_ds``: Dataset of (possibly duplicated) join keys. Counts the
+    rows first (one cheap metadata-ish pass); at or under
+    ``exact_threshold`` collects the distinct int64 keys into an exact
+    ndarray, above it builds a :class:`BloomFilter` from per-batch
+    partial filters OR-merged on the driver — each batch ships one
+    fixed-size register row, so the driver never holds the key set.
+    Pass ``exact_threshold=None`` to force the exact path (anti joins).
+    """
+    n = keys_ds.count()
+    if exact_threshold is None or n <= exact_threshold:
+        return np.unique(
+            np.fromiter(keys_ds.unique(column), dtype=np.int64, count=-1)
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity=n, fpp=fpp)
+        bf.add(batch.column(column).to_numpy())
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    merged = BloomFilter(capacity=n, fpp=fpp)
+    for row in keys_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        merged.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return merged
 
 
 def semi_join(ds, column: str, keys_ref, anti: bool = False):

@@ -48,3 +48,50 @@ def test_semi_join_bloom_mode(ray_session):
     ds = ray.data.from_items([{"k": i} for i in range(100)])
     semi = {r["k"] for r in semi_join(ds, "k", ray.put(bf)).take_all()}
     assert {5, 50} <= semi  # no false negatives; FPs allowed
+
+
+def test_build_key_filter_threshold_switch(ray_session):
+    """Under the threshold → exact ndarray; over it → distributed Bloom
+    whose membership is a superset of the exact keys (no false negatives)
+    with a tiny FP rate."""
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.semijoin import BloomFilter, build_key_filter
+
+    keys = [{"k": i} for i in range(0, 4000, 2)]  # 2000 distinct, some dup'd
+    ds = ray.data.from_items(keys + keys[:100]).repartition(4)
+
+    exact = build_key_filter(ds, "k", exact_threshold=10_000)
+    assert isinstance(exact, np.ndarray)
+    assert set(exact.tolist()) == set(range(0, 4000, 2))
+
+    bloom = build_key_filter(ds, "k", exact_threshold=10)
+    assert isinstance(bloom, BloomFilter)
+    assert bloom.contains(exact).all()  # no false negatives vs exact set
+    non_members = np.arange(100_000, 150_000, dtype=np.int64)
+    assert bloom.contains(non_members).mean() < 0.01
+
+    # exact_threshold=None forces exact regardless of size (anti joins)
+    forced = build_key_filter(ds, "k", exact_threshold=None)
+    assert isinstance(forced, np.ndarray)
+
+
+def test_orders_semi_bloom_superset(ray_session):
+    """orders_semi_join with the Bloom path forced is a superset of the
+    exact result; anti stays exact even when the threshold would trip."""
+    from mhdb_tables2turtles_ray.pipelines.relational import orders_semi_join
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["o_orderkey"] for r in orders_semi_join(sf).take_all()}
+    bloom = {r["o_orderkey"] for r in orders_semi_join(sf, exact_threshold=1).take_all()}
+    assert exact <= bloom
+    assert len(bloom) <= len(exact) * 1.01 + 5  # fpp-bounded slack
+
+    anti_forced = {
+        r["o_orderkey"]
+        for r in orders_semi_join(sf, anti=True, exact_threshold=1).take_all()
+    }
+    anti_default = {
+        r["o_orderkey"] for r in orders_semi_join(sf, anti=True).take_all()
+    }
+    assert anti_forced == anti_default  # anti ignores the threshold: exact
