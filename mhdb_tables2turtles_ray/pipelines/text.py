@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -20,6 +21,28 @@ from ..sources.tables import read_table
 
 _TOKEN_RE = re.compile(r"\S+")
 _WS_RE = re.compile(r"\s+")
+
+
+def _marker_hits(text_col, value_sets: list[pa.Array]) -> list[np.ndarray]:
+    """Per-row counts of tokens falling in each marker set, vectorized.
+
+    One Arrow split → flatten, then one ``pc.is_in`` + ``np.bincount``
+    per set. Arrow's regex (RE2) has no lookarounds, so exact-token
+    membership can't be a count_substring_regex pattern — split+is_in is
+    the vectorized equivalent. Null texts contribute zero tokens (their
+    list is null, so no flattened values carry their parent index)."""
+    toks = pc.split_pattern_regex(text_col, r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy()
+    n = len(text_col)
+    return [
+        np.bincount(
+            parents,
+            weights=pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False),
+            minlength=n,
+        ).astype(np.int64)
+        for vs in value_sets
+    ]
 
 # Marker (stopword) lists per language for the n-gram/stopword heuristic
 # language ID. Deterministic priority tie-break: en > de > fr.
@@ -47,29 +70,32 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
 
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_chars_text, n_tokens, stop_hits, stop_ratio) — the
-    length/stopword-ratio quality signals."""
+    length/stopword-ratio quality signals, fully vectorized (Arrow regex
+    count for tokens, split+is_in+bincount for stopword hits)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    stop = set(STOPWORDS)
+    stop_set = pa.array(list(STOPWORDS), pa.string())
 
     def score(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_tokens, stop_hits = [], []
-        for t in texts:
-            toks = _TOKEN_RE.findall(t) if t else []
-            n_tokens.append(len(toks))
-            stop_hits.append(sum(1 for w in toks if w in stop))
-        ratio = [
-            (h / n) if n else 0.0 for h, n in zip(stop_hits, n_tokens)
-        ]
+        text = batch.column("text")
+        n_tokens = (
+            pc.count_substring_regex(text, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        (stop_hits,) = _marker_hits(text, [stop_set])
+        ratio = np.divide(
+            stop_hits,
+            n_tokens,
+            out=np.zeros(len(n_tokens), dtype=np.float64),
+            where=n_tokens > 0,
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_chars_text": pc.cast(
-                    pc.utf8_length(batch.column("text")), pa.int64()
-                ),
-                "n_tokens": pa.array(n_tokens, pa.int64()),
-                "stop_hits": pa.array(stop_hits, pa.int64()),
-                "stop_ratio": pa.array(ratio, pa.float64()),
+                "n_chars_text": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_tokens": pa.array(n_tokens),
+                "stop_hits": pa.array(stop_hits),
+                "stop_ratio": pa.array(ratio),
             }
         )
 
@@ -78,25 +104,27 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, predicted_lang) — stopword-marker heuristic with the
-    deterministic en > de > fr priority tie-break; zero hits → 'unknown'."""
+    deterministic en > de > fr priority tie-break; zero hits → 'unknown'.
+    Vectorized: one split, one is_in+bincount per language, numpy selects."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+    sets = [pa.array(list(LANG_MARKERS[k]), pa.string()) for k in ("en", "de", "fr")]
 
     def predict(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column("text").to_pylist():
-            toks = _TOKEN_RE.findall(t) if t else []
-            hits = {k: sum(1 for w in toks if w in m) for k, m in markers.items()}
-            if hits["en"] >= hits["de"] and hits["en"] >= hits["fr"] and hits["en"] > 0:
-                out.append("en")
-            elif hits["de"] >= hits["fr"] and hits["de"] > 0:
-                out.append("de")
-            elif hits["fr"] > 0:
-                out.append("fr")
-            else:
-                out.append("unknown")
+        en, de, fr = _marker_hits(batch.column("text"), sets)
+        out = np.select(
+            [
+                (en >= de) & (en >= fr) & (en > 0),
+                (de >= fr) & (de > 0),
+                fr > 0,
+            ],
+            ["en", "de", "fr"],
+            default="unknown",
+        )
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "predicted_lang": pa.array(out)}
+            {
+                "doc_id": batch.column("doc_id"),
+                "predicted_lang": pa.array(out.tolist(), pa.string()),
+            }
         )
 
     return ds.map_batches(predict, batch_format="pyarrow", zero_copy_batch=True)

@@ -7,27 +7,23 @@ register array; the driver (or a tiny reduce) merges by elementwise
 max. The shuffle moves ``#batches × 2^p`` bytes instead of the data.
 
 Standard HLL (Flajolet et al. 2007) with the small-range linear
-counting correction; deterministic 64-bit hashing (blake2b) so results
-are stable across runs and parallelism."""
+counting correction; deterministic 64-bit hashing (pandas' vectorized
+siphash with its fixed default key — the same stable-hash trick as
+``pipelines/dedup.py:_stable_hash64``, ~20× faster than a per-value
+blake2b loop) so results are stable across runs and parallelism."""
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
 def _hash64(values) -> np.ndarray:
-    return np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "little"
-            )
-            for v in values
-        ],
-        dtype=np.uint64,
-    )
+    arr = np.asarray(values)
+    if arr.dtype.kind not in ("i", "u", "f", "b"):
+        arr = arr.astype(object)
+    return pd.util.hash_array(arr).astype(np.uint64)
 
 
 class HyperLogLog:
@@ -40,14 +36,19 @@ class HyperLogLog:
         h = _hash64(values)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)
-        # rank = leading zeros of the remaining 64-p bits, +1
+        # rank = leading zeros of the remaining 64-p bits, +1. Highest set
+        # bit via float log2 is unsafe at 64 bits; binary-search shifts
+        # (6 vectorized passes) are exact.
         rank = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
         nz = rest != 0
-        # position of highest set bit via float log2 is unsafe at 64 bits;
-        # use bit_length through object ints only for nonzero lanes
-        bl = np.array([int(v).bit_length() for v in rest[nz]], dtype=np.int64)
-        rank_nz = (64 - bl + 1).astype(np.uint8)
-        rank[nz] = np.minimum(rank_nz, 64 - self.p + 1)
+        x = rest[nz]
+        bl = np.zeros(x.shape, dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = x >= (np.uint64(1) << np.uint64(shift))
+            bl[big] += shift
+            x[big] >>= np.uint64(shift)
+        bl += x > 0  # bit_length of each nonzero lane
+        rank[nz] = np.minimum((64 - bl + 1).astype(np.uint8), 64 - self.p + 1)
         np.maximum.at(self.registers, idx, rank)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
@@ -72,7 +73,7 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     def sketch(batch: pa.Table) -> pa.Table:
         hll = HyperLogLog(p)
         col = batch.column(column)
-        hll.add(col.drop_null().to_pylist())
+        hll.add(col.drop_null().to_numpy(zero_copy_only=False))
         return pa.table({"registers": pa.array([hll.registers.tobytes()], pa.binary())})
 
     merged = HyperLogLog(p)
