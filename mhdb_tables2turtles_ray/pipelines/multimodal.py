@@ -1,10 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container ships no image/audio codecs, so the DECODE step is gated:
-real decoding raises ``NotImplementedError`` unless the optional lib
-exists; a deterministic fake derives metadata from the bytes instead.
-Everything Ray-side — schema (binary column + metadata), actor-pool
-stage shape, batch sizing, output layout — is real and tested.
+Decode modes (``MediaDecoder``): ``"real"`` decodes actual image
+payloads — PIL when importable, else a pure-Python container header
+probe (PNG/GIF/BMP — the dimension fields sit at fixed offsets in each
+format's public spec, so no codec is needed to read them); undecodable
+payloads quarantine to null dimensions rather than failing the batch.
+``"fake"`` derives deterministic metadata from the byte length — the
+no-codec fallback the SQL oracle checks against this container's
+text-bytes test payloads. ``"auto"`` picks real iff PIL is present.
 
 Scale note: binary payloads make rows wide — these stages use a small
 ``batch_size`` and ``batch_format="pyarrow"`` (binary columns round-trip
@@ -14,12 +17,34 @@ zero-copy through Arrow; pandas would object-box them).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
 from ..sources.tables import read_table
+
+
+def probe_image_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from an image container header, pure Python.
+
+    PNG: 8-byte signature, then the IHDR chunk whose first 8 data bytes
+    are width/height as big-endian uint32. GIF: 6-byte version tag then
+    the logical-screen size as little-endian uint16s. BMP: 'BM' magic,
+    width/height as little-endian int32 at offset 18. Raises
+    ``ValueError`` for anything else."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return int(w), int(abs(h))
+    raise ValueError("unrecognized image container")
 
 
 def binary_payloads(sf_dir: str) -> ray.data.Dataset:
@@ -46,33 +71,47 @@ def binary_payloads(sf_dir: str) -> ray.data.Dataset:
 class MediaDecoder:
     """Actor-pool decode/feature-extract stage.
 
-    ``__init__`` probes for a real codec ONCE per actor (PIL); absent →
-    deterministic fake mode: width/height derived from payload length.
-    Real mode is a clearly marked stub — the Ray plumbing is the point.
+    ``__init__`` probes for PIL ONCE per actor. Output schema is
+    identical in every mode: (doc_id, n_bytes, sha256, width, height) —
+    real mode quarantines undecodable payloads to null width/height.
     """
 
-    def __init__(self, require_real: bool = False):
+    def __init__(self, mode: str = "fake"):
         try:
-            import PIL.Image  # noqa: F401
+            from PIL import Image
 
-            self.real = True
+            self._pil = Image
         except ImportError:
-            self.real = False
-        if require_real and not self.real:
-            raise NotImplementedError(
-                "real image decode requires PIL, not shipped in this container"
-            )
+            self._pil = None
+        if mode == "auto":
+            mode = "real" if self._pil else "fake"
+        if mode not in ("real", "fake"):
+            raise ValueError(f"unknown decode mode: {mode!r}")
+        self.mode = mode
+
+    def _decode(self, payload: bytes) -> tuple[int | None, int | None]:
+        if self._pil is not None:
+            try:
+                with self._pil.open(io.BytesIO(payload)) as img:
+                    return int(img.width), int(img.height)
+            except Exception:
+                pass  # fall through to the header probe
+        try:
+            return probe_image_dims(payload)
+        except ValueError:
+            return None, None  # quarantine: not an image this decoder reads
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real:
-            raise NotImplementedError(
-                "real decode path stubbed: wire PIL.Image.open over payload bytes here"
-            )
         payloads = batch.column("payload").to_pylist()
         n_bytes = [len(p) for p in payloads]
         sha = [hashlib.sha256(p).hexdigest() for p in payloads]
-        width = [n % 640 for n in n_bytes]
-        height = [(n * 7) % 480 for n in n_bytes]
+        if self.mode == "real":
+            dims = [self._decode(p) for p in payloads]
+            width = [d[0] for d in dims]
+            height = [d[1] for d in dims]
+        else:
+            width = [n % 640 for n in n_bytes]
+            height = [(n * 7) % 480 for n in n_bytes]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -84,10 +123,13 @@ class MediaDecoder:
         )
 
 
-def payload_meta(sf_dir: str, concurrency=(1, 4), batch_size: int = 1024) -> ray.data.Dataset:
+def payload_meta(
+    sf_dir: str, concurrency=(1, 4), batch_size: int = 1024, mode: str = "fake"
+) -> ray.data.Dataset:
     """(doc_id, n_bytes, sha256, width, height) via the decoder pool."""
     return binary_payloads(sf_dir).map_batches(
         MediaDecoder,
+        fn_constructor_kwargs={"mode": mode},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
