@@ -64,13 +64,28 @@ def delimited_label_vec(arr: pa.Array) -> pa.Array:
     )
 
 
+def _check_iri_or_none(v) -> str | None:
+    """Scalar ``check_iri`` that maps strip-to-empty inputs to None.
+
+    ``check_iri`` raises ValueError exactly when the value strips to
+    empty (e.g. a whitespace-only cell made of non-ASCII whitespace like
+    U+00A0, which is what routes such values here in the first place).
+    The emitter's own empty-after-strip gate skips those rows — so the
+    vectorized path must return a skippable None, not crash the batch.
+    """
+    try:
+        return check_iri(v, "delimited")
+    except ValueError:
+        return None
+
+
 def check_iri_delimited_vec(arr: pa.Array) -> pa.Array:
     """Vectorized ``check_iri(x, 'delimited')``.
 
     Fast path covers the dominant branch — no ``:`` in the (stripped)
     value → ``:`` + delimited label. Values containing ``:`` (CURIE /
     URL / trailing-colon branches) or needing unicode semantics route
-    to the scalar function.
+    to the scalar function; values that strip to empty yield null.
     """
     stripped = pc.utf8_trim_whitespace(arr)
     has_colon = pc.match_substring(stripped, ":")
@@ -80,9 +95,7 @@ def check_iri_delimited_vec(arr: pa.Array) -> pa.Array:
     )
     if not pc.any(fallback).as_py():
         return fast
-    return _merge(
-        fast, fallback, arr.to_pylist(), lambda v: check_iri(v, "delimited")
-    )
+    return _merge(fast, fallback, arr.to_pylist(), _check_iri_or_none)
 
 
 def language_string_vec(arr: pa.Array, lang: str = "en") -> pa.Array:

@@ -131,8 +131,10 @@ def minhash_lsh_pairs(
     (not exact) Jaccard is the standard at-scale verify — it avoids
     shipping shingle sets through a second join. Buckets larger than
     ``max_bucket`` are truncated (sorted by doc_id) — a skew guard
-    against degenerate buckets going quadratic; truncation is visible in
-    the bucket stats, not silent data loss of the corpus itself.
+    against degenerate buckets going quadratic. Each partition task that
+    truncates logs a warning with the truncated-bucket count (worker
+    log), so truncation is observable; the corpus itself is never
+    dropped, only candidate pairs beyond the cap.
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     exploded = ds.map_batches(
@@ -164,9 +166,12 @@ def minhash_lsh_pairs(
 
     def coarse_pairs(part: pd.DataFrame) -> pd.DataFrame:
         a_idx, b_idx, est = [], [], []
+        n_truncated = 0
         for _, group in part.groupby(["band", "band_hash"], sort=False):
             if len(group) < 2:
                 continue
+            if len(group) > max_bucket:
+                n_truncated += 1
             group = group.sort_values("doc_id").head(max_bucket)
             ids = group["doc_id"].to_numpy()
             sigs = np.stack(group["sig"].to_numpy())  # (n, num_perm)
@@ -176,6 +181,15 @@ def minhash_lsh_pairs(
                     a_idx.append(ids[i])
                     b_idx.append(ids[i + 1 + j])
                     est.append(float(eq[j]))
+        if n_truncated:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh: truncated %d bucket(s) to max_bucket=%d "
+                "(skew guard; candidate pairs beyond the cap dropped)",
+                n_truncated,
+                max_bucket,
+            )
         return pd.DataFrame(
             {"doc_a": a_idx, "doc_b": b_idx, "est_jaccard": est}
         ).astype({"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"})

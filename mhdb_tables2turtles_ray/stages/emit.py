@@ -134,7 +134,14 @@ class Literal:
             elif self.kind.startswith("curie:"):
                 out.append("{}:{}".format(self.kind[6:], part))
             elif self.kind == "raw":
-                out.append(part if isinstance(part, str) else str(part))
+                # Verbatim except newline folding: an interior newline in
+                # a sameAs/equivalentClasses cell would break the rendered
+                # shard's ' ;\n\t' block grammar (validate._parse_blocks)
+                # and the manifest triple-count invariant.
+                text = part if isinstance(part, str) else str(part)
+                if "\n" in text or "\r" in text:
+                    text = text.replace("\r", " ").replace("\n", " ")
+                out.append(text)
             else:
                 out.append(typed_literal(part, self.kind))
         return out
@@ -324,8 +331,16 @@ class TripleEmitter:
             )
             minted = check_iri_delimited_vec(raw).to_pylist()
             nonempty = pc.not_equal(pc.utf8_trim_whitespace(raw), "").to_pylist()
+            # Scalar parity: the scalar path also exclude-gates the
+            # COMPOSED subject string (pre-strip — e.g. 'Na'+'N' → 'NaN'
+            # is skipped, but ' NaN ' is not, matching is_excluded's
+            # exact-membership semantics).
+            composed_excluded = pc.is_in(
+                raw, value_set=pa.array(sorted(_EXCLUDED_STRINGS), pa.string())
+            ).to_pylist()
             pre["subject"] = [
-                m if ok else None for m, ok in zip(minted, nonempty)
+                m if ok and not ex else None
+                for m, ok, ex in zip(minted, nonempty, composed_excluded)
             ]
 
         lt = spec.label_template

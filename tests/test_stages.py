@@ -173,3 +173,33 @@ def test_used_prefixes(ray_session):
         ]
     )
     assert used_prefixes(ds) == ["ICD9CM", "rdfs"]
+
+
+def test_emitter_whitespace_only_nonascii_subject_skipped():
+    """A whitespace-only non-ASCII subject cell (U+00A0) must not crash
+    the vectorized batch path; the row is skipped exactly as the scalar
+    path skips it (empty after strip)."""
+    spec = EmissionSpec(
+        name="ws",
+        subject_template="{name}",
+        subject_casing="delimited",
+        rdf_type=":Thing",
+    )
+    out = _triples(TripleEmitter([spec])(pa.table({"name": ["good row", "\u00a0"]})))
+    assert out == {(":good_row", "a", ":Thing")}
+
+
+def test_emitter_composed_excluded_subject_skipped():
+    """A multi-field subject whose CONCATENATION equals an excluded
+    sentinel ('Na'+'N' -> 'NaN') is skipped on the vectorized path just
+    like the scalar path (which checks is_excluded after formatting)."""
+    spec = EmissionSpec(
+        name="cmp",
+        subject_template="{a}{b}",
+        subject_casing="delimited",
+        rdf_type=":Thing",
+    )
+    out = _triples(
+        TripleEmitter([spec])(pa.table({"a": ["Na", "x"], "b": ["N", "y"]}))
+    )
+    assert out == {(":xy", "a", ":Thing")}
