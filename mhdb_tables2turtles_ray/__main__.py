@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     b.add_argument("--partitions", type=int, default=64)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--validate", action="store_true", help="parse shards after write")
+    b.add_argument("--specs", default=None,
+                   help="emission-spec config file (.json/.parquet) overriding "
+                        "the coded registry (structure_to_keep surface)")
     b.add_argument("--num-cpus", type=int, default=None,
                    help="local-mode CPU count (ignored under ray job submit)")
 
@@ -60,8 +63,15 @@ def main(argv=None) -> int:
             args.input, columns=["repo", "path", "commit", "lang", "content"]
         )
 
+    specs = None
+    if args.specs:
+        from .stages.spec_config import load_specs
+
+        specs = load_specs(args.specs)
+
     summary = kg_build(
-        corpus, args.out, num_partitions=args.partitions, resume=not args.no_resume
+        corpus, args.out, num_partitions=args.partitions,
+        resume=not args.no_resume, specs=specs,
     )
     if args.validate:
         from .stages.validate import validate_turtle_dir

@@ -110,10 +110,15 @@ def kg_triples_raw(
     corpus: ray.data.Dataset,
     vocab: dict | None = None,
     linker_concurrency=None,
+    specs=None,
 ) -> ray.data.Dataset:
     """Emission WITHOUT the global dedup shuffle (per-batch partial dedup
     only). Used by :func:`kg_build`, which folds exact dedup into the
-    materialize shuffle instead (one all-to-all for the whole build)."""
+    materialize shuffle instead (one all-to-all for the whole build).
+
+    ``specs`` overrides the coded emission registry — pass the result of
+    ``stages.spec_config.load_specs`` to drive emission from a user
+    config table (the reference's ``structure_to_keep`` surface)."""
     vocab = vocab or build_vocab_bundle()
     if linker_concurrency is None:
         try:
@@ -137,7 +142,7 @@ def kg_triples_raw(
         unknown_value=None,  # unmatched languages simply emit no triple
         concurrency=linker_concurrency,
     )
-    triples = emit_triples(ds, corpus_specs())
+    triples = emit_triples(ds, corpus_specs() if specs is None else specs)
     return triples.union(ray.data.from_arrow(tbox_triples(vocab)))
 
 
@@ -151,11 +156,12 @@ def kg_build(
     dedup_buckets: int = 32,  # kept for API compat; dedup rides the
     # materialize shuffle (duplicate triples share their subject, so the
     # subject-hash partition dedups exactly) — one all-to-all total.
+    specs=None,
 ) -> dict:
     """Full build: triples + Turtle shards + manifests + header."""
     del dedup_buckets
     vocab = vocab or build_vocab_bundle()
-    triples = kg_triples_raw(corpus, vocab, linker_concurrency)
+    triples = kg_triples_raw(corpus, vocab, linker_concurrency, specs=specs)
     return materialize_turtle(
         triples,
         out_dir,
