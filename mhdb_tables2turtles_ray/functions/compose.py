@@ -60,3 +60,34 @@ def icd_curie(version: int, code) -> str:
     """``ICD{9,10}CM:code`` CURIE (reference mhdb/ingest.py:658-667;
     legacy variant mhdb/unused_functions.py:23-46)."""
     return "ICD{0}CM:{1}".format(version, code)
+
+
+def doi_statements(doi: str, title: str | None = None, statements=None) -> dict:
+    """Statements about a DOI — reference ``doi_iri``
+    (``mhdb/unused_functions.py:752-810``).
+
+    The reference function is DEAD CODE: it calls ``add_if``, which is
+    defined nowhere in the repo (same broken-reference family as
+    ``create_label``; its docstring example also shows an un-destroyed
+    URL the actual ``check_iri`` cannot produce). Semantics are
+    reconstructed from the call shape: a nested statements dict
+    ``{subject: {predicate: {objects}}}`` keyed by the check_iri-minted
+    ``https://dx.doi.org/{doi}`` IRI (URL-destruction quirk included),
+    carrying the datacite identifier pair and an optional
+    language-string title label.
+    """
+    from .strings import language_string
+
+    statements = {} if statements is None else statements
+    local_iri = check_iri("https://dx.doi.org/{0}".format(doi))
+    doi_lit = '"""{0}"""^^rdfs:Literal'.format(doi)
+    preds = [
+        ("datacite:usesIdentifierScheme", "datacite:doi"),
+        ("datacite:hasIdentifier", doi_lit),
+    ]
+    if title:
+        preds.append(("rdfs:label", language_string(title)))
+    bucket = statements.setdefault(local_iri, {})
+    for pred, obj in preds:
+        bucket.setdefault(pred, set()).add(obj)
+    return statements

@@ -105,6 +105,93 @@ def write_legacy_header_prefixes(prefixes: list[tuple[str, str]]) -> str:
     return lines + f"@base <{prefixes[0][1][:-1]}> .\n"
 
 
+# --- Remaining legacy write_rdf surface (S6), conformance-tested -------------
+
+# The reference's hard-coded default prefix block
+# (mhdb/write_rdf.py:272-321's no-prefixes branch), byte-identical.
+_LEGACY_DEFAULT_PREFIXES = """@prefix : <{0}#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix xml: <http://www.w3.org/XML/1998/namespace> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix dcterms: <http://dublincore.org/documents/2012/06/14/dcmi-terms/> .
+@prefix health-lifesci: <http://health-lifesci.schema.org/> .
+@prefix ICD10: <http://purl.bioontology.org/ontology/ICD10CM/> .
+@prefix ICD9: <http://purl.bioontology.org/ontology/ICD9CM/> .
+@prefix PATO: <http://www.ontobee.org/ontology/PATO?iri=http://purl.obolibrary.org/obo/PATO_> .
+@prefix schema: <http://schema.org/> .
+@prefix DOID: <http://bioportal.bioontology.org/ontologies/DOID?p=classes&conceptid=http://purl.obolibrary.org/obo/DOID> .
+@base <{0}> .
+"""
+
+
+def legacy_build_import(uri: str | None) -> str | None:
+    """Reference ``build_import`` (mhdb/write_rdf.py:27-45): an
+    ``owl:imports`` substring, or None for a falsy URI (trailing space
+    preserved)."""
+    return "owl:imports <{0}> ".format(uri) if uri else None
+
+
+def legacy_print_header(
+    base_uri: str,
+    version: str,
+    label: str,
+    comment: str,
+    prefixes: list[tuple[str, str]] | None = None,
+) -> str:
+    """Reference ``print_header`` (mhdb/write_rdf.py:272-337): the legacy
+    ``@prefix`` preamble (hard-coded block, or ``build_header_prefixes``
+    over ``[("", base#), *prefixes]``) followed by the owl:Ontology
+    block with ``^^rdfs:Literal``-typed metadata."""
+    preamble = (
+        _LEGACY_DEFAULT_PREFIXES.format(base_uri)
+        if not prefixes
+        else write_legacy_header_prefixes(
+            [("", "{0}#".format(base_uri)), *prefixes]
+        )
+    )
+    return """{4}<{0}> rdf:type owl:Ontology ;
+    owl:versionIRI <{0}/{1}> ;
+    owl:versionInfo "{1}"^^rdfs:Literal ;
+    rdfs:label "{2}"^^rdfs:Literal ;
+    rdfs:comment \"\"\"{3}\"\"\"^^rdfs:Literal .
+
+""".format(base_uri, version, label, comment, preamble)
+
+
+def legacy_print_subheader(object_type: str) -> str:
+    """Reference ``print_subheader`` (mhdb/write_rdf.py:340-348): the
+    banner comment block."""
+    return """
+#################################################################
+#    {0}
+#################################################################
+""".format(object_type)
+
+
+def legacy_general_axioms(disjoint_classes_list: list[str] | None = None) -> str:
+    """Reference ``print_general_axioms`` (mhdb/write_rdf.py:351-384):
+    the owl:AllDisjointClasses block. The reference repeats the
+    ``owl:members ( :X`` line per class instead of listing members in
+    one parenthesis — invalid-looking but preserved exactly (this is the
+    emitted-bytes contract, quirks included)."""
+    out = ""
+    if disjoint_classes_list:
+        out += """
+[ rdf:type owl:AllDisjointClasses ;
+  owl:members ( :{0} """.format(disjoint_classes_list[0])
+        for cls in disjoint_classes_list[1:]:
+            out += """
+  owl:members ( :{0} """.format(cls)
+        out += """
+              )
+] .
+"""
+    return out
+
+
 def materialize_turtle(
     triples,
     out_dir: str,
