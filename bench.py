@@ -30,8 +30,11 @@ HEADLINE_ONLY = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
 # Scaling levels: this sandbox's 32 "CPUs" are ~16 physical cores + SMT —
 # raw-CPU scaling from 8→32 processes tops out at ~2.6×/4 (measured, see
 # BASELINE.md), so the default N→4N evidence uses 8→32 but the hardware
-# ceiling is reported alongside; override with GRAFT_SCALE_LO/HI.
+# ceiling is reported alongside; override with GRAFT_SCALE_LO/HI. The
+# 8→16 MID pair stays within physical cores, where the raw efficiency
+# number is meaningful without the SMT normalization argument.
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+SCALE_MID = int(os.environ.get("GRAFT_SCALE_MID", "16"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "32"))
 
 
@@ -177,9 +180,11 @@ def run_scaling() -> dict:
         time.sleep(5)  # let the previous Ray session's workers fully exit
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(SCALE_LO), run(SCALE_HI)
+    runs = {n: run(n) for n in sorted({SCALE_LO, SCALE_MID, SCALE_HI})}
+    lo, mid, hi = runs[SCALE_LO], runs[SCALE_MID], runs[SCALE_HI]
     ratio = SCALE_HI / SCALE_LO
     eff = (lo["value"] / hi["value"]) / ratio
+    eff_mid = (lo["value"] / mid["value"]) / (SCALE_MID / SCALE_LO)
     hw_ratio = _hardware_ratio(SCALE_LO, SCALE_HI)
     return {
         "metric": "scaling_efficiency",
@@ -187,13 +192,14 @@ def run_scaling() -> dict:
         "hardware_ratio": round(hw_ratio, 3),
         "hardware_efficiency_ceiling": round(hw_ratio / ratio, 3),
         "efficiency_vs_hardware": round((lo["value"] / hi["value"]) / hw_ratio, 3),
+        # within-physical-cores pair: no SMT caveat needed for this one
+        f"efficiency_{SCALE_LO}_to_{SCALE_MID}": round(eff_mid, 3),
         "unit": "ratio",
         "cpus_lo": SCALE_LO,
+        "cpus_mid": SCALE_MID,
         "cpus_hi": SCALE_HI,
-        f"sec_{SCALE_LO}": lo["value"],
-        f"sec_{SCALE_HI}": hi["value"],
-        f"files_per_sec_{SCALE_LO}": lo["files_per_sec"],
-        f"files_per_sec_{SCALE_HI}": hi["files_per_sec"],
+        **{f"sec_{n}": r["value"] for n, r in runs.items()},
+        **{f"files_per_sec_{n}": r["files_per_sec"] for n, r in runs.items()},
         "kg_files": lo["kg_files"],
         "sf": SF_DIR,
     }

@@ -69,9 +69,23 @@ def _shingles(text: str, k: int) -> list[str]:
 
 
 class MinHasher:
-    """Actor-pool signature stage: permutation params built once."""
+    """Actor-pool signature stage: permutation params built once.
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 3, bands: int = 16):
+    ``mode``:
+      - ``"bands"``       → exploded (band, band_hash, doc_id, sig) — the
+        single-pass shape (signature rides every band row);
+      - ``"bands_light"`` → exploded (band, band_hash, doc_id) — 16-byte
+        band rows for the two-pass shape (signatures verified later);
+      - ``"sigs"``        → one (doc_id, sig) row per doc.
+    """
+
+    def __init__(
+        self,
+        num_perm: int = 64,
+        shingle_k: int = 3,
+        bands: int = 16,
+        mode: str = "bands",
+    ):
         rng = np.random.RandomState(7)
         self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -79,6 +93,7 @@ class MinHasher:
         self.k = shingle_k
         self.bands = bands
         self.rows_per_band = num_perm // bands
+        self.mode = mode
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text or "", self.k)
@@ -90,12 +105,22 @@ class MinHasher:
         return ph.min(axis=1).astype(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """doc batch → exploded (bucket_band, bucket_hash, doc_id, sig)."""
         ids = batch.column("doc_id").to_pylist()
+        if self.mode == "sigs":
+            sigs = [
+                self.signature(t).tolist() for t in batch.column("text").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "sig": pa.array(sigs, pa.list_(pa.uint64())),
+                }
+            )
+        carry = self.mode == "bands"
         doc_col, band_col, bhash_col, sig_col = [], [], [], []
         for doc_id, text in zip(ids, batch.column("text").to_pylist()):
             sig = self.signature(text)
-            sig_list = sig.tolist()
+            sig_list = sig.tolist() if carry else None
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 bh = int.from_bytes(
@@ -104,15 +129,16 @@ class MinHasher:
                 doc_col.append(doc_id)
                 band_col.append(band)
                 bhash_col.append(bh)
-                sig_col.append(sig_list)
-        return pa.table(
-            {
-                "band": pa.array(band_col, pa.int32()),
-                "band_hash": pa.array(bhash_col, pa.uint64()),
-                "doc_id": pa.array(doc_col, pa.int64()),
-                "sig": pa.array(sig_col, pa.list_(pa.uint64())),
-            }
-        )
+                if carry:
+                    sig_col.append(sig_list)
+        cols = {
+            "band": pa.array(band_col, pa.int32()),
+            "band_hash": pa.array(bhash_col, pa.uint64()),
+            "doc_id": pa.array(doc_col, pa.int64()),
+        }
+        if carry:
+            cols["sig"] = pa.array(sig_col, pa.list_(pa.uint64()))
+        return pa.table(cols)
 
 
 def minhash_lsh_pairs(
@@ -123,6 +149,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 200,
     concurrency=(1, 8),
+    carry_sig: bool = False,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -135,15 +162,32 @@ def minhash_lsh_pairs(
     truncates logs a warning with the truncated-bucket count (worker
     log), so truncation is observable; the corpus itself is never
     dropped, only candidate pairs beyond the cap.
+
+    ``carry_sig`` picks the shuffle/compute trade (results identical,
+    verified by test):
+      - False (two-pass, DEFAULT): band rows carry only (band,
+        band_hash, doc_id) — 27× less shuffle at the defaults (measured
+        at sf0.1: 1.6 MB vs 42.9 MB exploded, see STATS.md) — then
+        signatures are recomputed for just the candidate docs (second
+        pruned read) and pairs verified against a broadcast signature
+        block. The at-scale shape when near-dup density is low
+        (candidates ≪ corpus, the normal regime); also faster here.
+      - True (single-pass): each doc's full signature rides all
+        ``bands`` band rows (~``bands × num_perm × 8`` ≈ 8 KB/doc
+        shuffled at the defaults). One corpus pass, no candidate-id
+        broadcast — the fallback when candidates are NOT sparse (a
+        dup-saturated corpus would blow the candidate broadcast).
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    hasher_kwargs = {
+        "num_perm": num_perm,
+        "shingle_k": shingle_k,
+        "bands": bands,
+        "mode": "bands" if carry_sig else "bands_light",
+    }
     exploded = ds.map_batches(
         MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "shingle_k": shingle_k,
-            "bands": bands,
-        },
+        fn_constructor_kwargs=hasher_kwargs,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=512,
@@ -194,15 +238,106 @@ def minhash_lsh_pairs(
             {"doc_a": a_idx, "doc_b": b_idx, "est_jaccard": est}
         ).astype({"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"})
 
-    pairs = (
-        exploded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(coarse_pairs, batch_format="pandas")
+    def coarse_candidates(part: pd.DataFrame) -> pd.DataFrame:
+        """Light mode: ALL within-bucket pairs (no signature to estimate
+        with here) — the verify pass filters by est_jaccard."""
+        out_a, out_b = [], []
+        for _, group in part.groupby(["band", "band_hash"], sort=False):
+            if len(group) < 2:
+                continue
+            ids = np.sort(group["doc_id"].to_numpy())[:max_bucket]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    bucketed = exploded.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
-    # global pair dedup (same pair found in multiple bands)
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+
+    if carry_sig:
+        pairs = bucketed.groupby("bucket").map_groups(
+            coarse_pairs, batch_format="pandas"
+        )
+        # global pair dedup (same pair found in multiple bands)
+        return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+            Min("est_jaccard", alias_name="est_jaccard")
+        )
+
+    # Two-pass: candidates (bounded — the whole point), then verify
+    # against signatures recomputed for candidate docs only.
+    candidates = (
+        bucketed.groupby("bucket")
+        .map_groups(coarse_candidates, batch_format="pandas")
+        .materialize()  # consumed twice (id collect + verify); bounded size
+    )
+    # unique() may return a list or a set depending on block lineage —
+    # np.fromiter accepts both
+    cand_ids = np.union1d(
+        np.fromiter(candidates.unique("doc_a"), dtype=np.int64),
+        np.fromiter(candidates.unique("doc_b"), dtype=np.int64),
+    )
+    if cand_ids.size == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ids_ref = ray.put(cand_ids)
+    sig_rows = (
+        ds.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t.column("doc_id"), pa.array(ray.get(ids_ref)))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(
+            MinHasher,
+            fn_constructor_kwargs={**hasher_kwargs, "mode": "sigs"},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=512,
+            concurrency=concurrency,
+        )
+        .take_all()
+    )
+    order = np.argsort([r["doc_id"] for r in sig_rows])
+    sig_ids = np.array([sig_rows[i]["doc_id"] for i in order], dtype=np.int64)
+    sig_mat = np.stack(
+        [np.asarray(sig_rows[i]["sig"], dtype=np.uint64) for i in order]
+    )
+    sig_ref = ray.put((sig_ids, sig_mat))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids, mat = ray.get(sig_ref)
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        est = (
+            mat[np.searchsorted(ids, a)] == mat[np.searchsorted(ids, b)]
+        ).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    verified = candidates.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return verified.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
     )
 
 

@@ -1,0 +1,59 @@
+"""MinHash-LSH shuffle-shape variants must agree exactly.
+
+carry_sig=True ships full signatures through the band shuffle
+(single-pass); carry_sig=False ships 16-byte band rows and verifies
+candidates against recomputed signatures (two-pass). Signatures are
+deterministic, so both shapes must produce the identical pair set with
+identical estimates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mhdb_tables2turtles_ray.pipelines.dedup import MinHasher, minhash_lsh_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(ds):
+    return {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in ds.take_all()
+    }
+
+
+def test_carry_sig_variants_identical(ray_session):
+    single = _pairs(minhash_lsh_pairs(SF, carry_sig=True))
+    two_pass = _pairs(minhash_lsh_pairs(SF, carry_sig=False))
+    assert single == two_pass
+    assert len(single) > 0  # the testdata does contain near-dups
+
+
+def test_two_pass_handles_no_candidates(ray_session):
+    # threshold can't create candidates out of nothing: crank bands down
+    # so bucket collisions require near-identical docs, and verify with
+    # an impossible threshold — the two-pass path must return an empty,
+    # well-schema'd Dataset (the empty-candidate guard).
+    out = minhash_lsh_pairs(SF, threshold=1.01, carry_sig=False)
+    rows = out.take_all()
+    assert rows == []
+    schema = out.schema()
+    # an all-filtered groupby can't infer a schema (None); when one is
+    # present it must be the pair schema
+    assert schema is None or set(schema.names) == {"doc_a", "doc_b", "est_jaccard"}
+
+
+def test_band_row_width():
+    """The light band rows must NOT carry signatures (that's the point)."""
+    import pyarrow as pa
+
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": ["a b c d e", "a b c d e"]})
+    light = MinHasher(mode="bands_light")(batch)
+    assert "sig" not in light.schema.names
+    heavy = MinHasher(mode="bands")(batch)
+    assert "sig" in heavy.schema.names
+    sigs = MinHasher(mode="sigs")(batch)
+    assert sigs.num_rows == 2 and "sig" in sigs.schema.names
+    s = np.asarray(sigs.column("sig").to_pylist())
+    assert (s[0] == s[1]).all()  # identical text -> identical signature
