@@ -149,6 +149,39 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_WINNOW_MOD = (1 << 61) - 1
+_WINNOW_BASE = 257
+
+
+def _kgram_hasher(k: int):
+    """Vectorized k-gram polynomial rolling hash (winnowing inner loop).
+
+    Returns ``hashes(data: bytes) -> np.ndarray`` yielding every k-gram's
+    ``sum(data[i+j] * BASE^(k-1-j)) mod MOD`` — identical values to the
+    sequential recurrence, computed as k shifted-slice table-lookup adds
+    instead of a per-byte Python loop. ``(BASE^j * byte) % MOD`` is
+    precomputed per byte value: each term is < MOD < 2^61, so a sum of
+    k ≤ 8 terms fits uint64 without overflow (the raw product would
+    not — hence the tables)."""
+    if k * _WINNOW_MOD >= (1 << 64):
+        raise ValueError("k too large for the uint64 accumulation")
+    powers = [pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD) for j in range(k)]
+    luts = [
+        np.array([(p * v) % _WINNOW_MOD for v in range(256)], dtype=np.uint64)
+        for p in powers
+    ]
+
+    def hashes(data: bytes) -> np.ndarray:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        n = len(arr) - k + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for j, lut in enumerate(luts):
+            acc += lut[arr[j : j + n]]
+        return acc % np.uint64(_WINNOW_MOD)
+
+    return hashes
+
+
 def winnow_fingerprints(
     sf_dir: str, k: int = 5, window: int = 4
 ) -> ray.data.Dataset:
@@ -157,8 +190,7 @@ def winnow_fingerprints(
     k-gram rolling hashes, per-window minima). Deterministic polynomial
     rolling hash — no Python ``hash()``."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    MOD = (1 << 61) - 1
-    BASE = 257
+    doc_hashes = _kgram_hasher(k)
 
     def winnow(batch: pa.Table) -> pa.Table:
         n_grams_c, n_sel_c, mins, maxs = [], [], [], []
@@ -170,22 +202,16 @@ def winnow_fingerprints(
                 mins.append(0)
                 maxs.append(0)
                 continue
-            power = pow(BASE, k - 1, MOD)
-            h = 0
-            hashes = []
-            for i, b in enumerate(data):
-                h = (h * BASE + b) % MOD
-                if i >= k:
-                    h = (h - data[i - k] * power * BASE) % MOD
-                if i >= k - 1:
-                    hashes.append(h)
-            selected = set()
-            for w in range(max(1, len(hashes) - window + 1)):
-                selected.add(min(hashes[w : w + window]))
+            hashes = doc_hashes(data)
+            n_windows = max(1, len(hashes) - window + 1)
+            win = np.lib.stride_tricks.sliding_window_view(
+                hashes, min(window, len(hashes))
+            )[:n_windows]
+            selected = np.unique(win.min(axis=1))
             n_grams_c.append(len(hashes))
             n_sel_c.append(len(selected))
-            mins.append(min(selected))
-            maxs.append(max(selected))
+            mins.append(int(selected[0]))
+            maxs.append(int(selected[-1]))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
