@@ -112,23 +112,27 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     Output: (n_name, revenue, n_orders). customer/nation are broadcast
     dicts probed per batch — no shuffle join.
     """
+    # Broadcast the dimension tables as sorted numpy arrays — the probe
+    # is a vectorized searchsorted per batch, not a per-row dict chain.
     cust = load_lookup(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = load_lookup(sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    cust_map = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
-    )
-    nation_map = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
-    )
-    ref = ray.put((cust_map, nation_map))
+    ck = cust.column("c_custkey").to_numpy()
+    nk = cust.column("c_nationkey").to_numpy()
+    order = np.argsort(ck)
+    ck, nk = ck[order], nk[order]
+    nnk = nation.column("n_nationkey").to_numpy()
+    name_by_key = np.empty(int(nnk.max()) + 1, dtype=object)
+    name_by_key[nnk] = np.array(nation.column("n_name").to_pylist(), dtype=object)
+    ref = ray.put((ck, nk, name_by_key))
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def join_partial(batch: pa.Table) -> pa.Table:
-        cmap, nmap = ray.get(ref)
-        names = [
-            nmap.get(cmap.get(ck)) for ck in batch.column("o_custkey").to_pylist()
-        ]
+        ck_s, nk_s, names_by_key = ray.get(ref)
+        cks = batch.column("o_custkey").to_numpy()
+        idx = np.clip(np.searchsorted(ck_s, cks), 0, len(ck_s) - 1)
+        hit = ck_s[idx] == cks  # dangling FK → null name (inner-join drop)
+        names = np.where(hit, names_by_key[nk_s[idx]], None)
         cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(
             np.int64
         )  # fixed-point: exact, order-independent sums

@@ -6,9 +6,10 @@
   100 TB the partial/final split means the shuffle carries
   ``num_queries × k`` rows per block, not the corpus.
 - :func:`ann_ivf` — IVF-style scale path: coarse centroids from the
-  ``label`` partitions (a small groupby), queries probe only the
-  ``nprobe`` nearest centroids' partitions (read-side filter), then the
-  same partial/final top-k within the probed subset.
+  ``label`` partitions (per-batch sum/count partials merged on the
+  driver — no vector shuffle), queries probe only the ``nprobe``
+  nearest centroids' partitions (read-side filter), then the same
+  partial/final top-k within the probed subset.
 """
 
 from __future__ import annotations
