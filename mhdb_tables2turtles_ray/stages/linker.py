@@ -93,43 +93,74 @@ class CrosswalkResolver:
     """
 
     def __init__(self, crosswalk_ref, reln_predicates):
+        import numpy as np
+
         cw = _materialize(crosswalk_ref)
         self.union: dict[int, tuple[str, str, str]] = cw["union"]
         self.reln_predicates = dict(reln_predicates)
+        # Mint every vocabulary entry ONCE per actor (the union table is
+        # small); the per-batch probe is then a vectorized searchsorted
+        # into (sorted ids, minted IRIs) — no per-row check_iri calls.
+        ids = np.fromiter(self.union.keys(), dtype=np.int64, count=len(self.union))
+        order = np.argsort(ids)
+        self._ids = ids[order]
+        self._minted = np.array(
+            [
+                check_iri(self.union[int(i)][0], self.union[int(i)][2])
+                for i in self._ids
+            ],
+            dtype=object,
+        )
+
+    def _mint_vec(self, node_ids):
+        import numpy as np
+
+        if len(self._ids) == 0:
+            none = np.full(len(node_ids), None, dtype=object)
+            return none, np.zeros(len(node_ids), dtype=bool)
+        idx = np.clip(np.searchsorted(self._ids, node_ids), 0, len(self._ids) - 1)
+        hit = self._ids[idx] == node_ids
+        out = np.where(hit, self._minted[idx], None)
+        return out, hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subjs, preds, objs = [], [], []
-        relns = batch.column("reln_type").to_pylist()
-        starts = batch.column("startNode").to_pylist()
-        ends = batch.column("endNode").to_pylist()
-        for reln, start, end in zip(relns, starts, ends):
-            pred = self.reln_predicates.get(reln)
-            if pred is None:
-                continue  # unknown relation types silently dropped
-            s = self._mint(start)
-            o = self._mint(end)
-            if s is None or o is None:
-                hit = s if s is not None else check_iri(f"node {start}", "delimited")
-                subjs.append(hit)
-                preds.append(":hasDanglingFK")
-                objs.append(
-                    typed_literal(f"crosswalk={start if s is None else end}", "xsd:string")
+        import numpy as np
+
+        relns = batch.column("reln_type").to_numpy(zero_copy_only=False)
+        starts = batch.column("startNode").to_numpy()
+        ends = batch.column("endNode").to_numpy()
+        # vectorized reln → predicate over the few distinct values
+        uniq, inv = np.unique(relns, return_inverse=True)
+        pred_u = np.array(
+            [self.reln_predicates.get(u) for u in uniq.tolist()], dtype=object
+        )
+        preds = pred_u[inv]
+        known = np.array([p is not None for p in preds])  # unknown reln dropped
+
+        s_iri, s_hit = self._mint_vec(starts)
+        o_iri, o_hit = self._mint_vec(ends)
+        ok = known & s_hit & o_hit
+        dangling = known & ~ok
+
+        subjs = list(s_iri[ok])
+        out_preds = list(preds[ok])
+        objs = list(o_iri[ok])
+        # quarantine rows (rare): per-row work only here
+        for i in np.nonzero(dangling)[0]:
+            s = s_iri[i]
+            subjs.append(
+                s if s is not None else check_iri(f"node {starts[i]}", "delimited")
+            )
+            out_preds.append(":hasDanglingFK")
+            objs.append(
+                typed_literal(
+                    f"crosswalk={starts[i] if s is None else ends[i]}", "xsd:string"
                 )
-                continue
-            subjs.append(s)
-            preds.append(pred)
-            objs.append(o)
+            )
         return pa.table(
             {
                 "subj": pa.array(subjs, pa.string()),
-                "pred": pa.array(preds, pa.string()),
+                "pred": pa.array(out_preds, pa.string()),
                 "obj": pa.array(objs, pa.string()),
             }
         )
-
-    def _mint(self, node_id) -> str | None:
-        hit = self.union.get(node_id)
-        if hit is None:
-            return None
-        name, _source, casing = hit
-        return check_iri(name, casing)

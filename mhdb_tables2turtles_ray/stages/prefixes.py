@@ -12,6 +12,7 @@ small driver-side result (A2 in SURVEY.md §2.5).
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_prefixes(batch: pa.Table) -> pa.Table:
@@ -19,15 +20,23 @@ def _batch_prefixes(batch: pa.Table) -> pa.Table:
     for col in ("subj", "pred", "obj"):
         if col not in batch.column_names:
             continue
-        for v in batch.column(col).to_pylist():
-            if v is None or not isinstance(v, str):
-                continue
-            # reference gates: has ':', no '://', not a quoted literal
-            if ":" not in v or "://" in v or v.startswith('"'):
-                continue
-            pfx = v.split(":", 1)[0]
-            if pfx:  # base-prefix ':x' values contribute nothing
-                found.add(pfx)
+        v = batch.column(col)
+        # reference gates, vectorized: has ':', no '://', not a quoted
+        # literal (null-safe — null values simply fail the mask)
+        mask = pc.and_kleene(
+            pc.match_substring(v, ":"),
+            pc.and_kleene(
+                pc.invert(pc.match_substring(v, "://")),
+                pc.invert(pc.starts_with(v, '"')),
+            ),
+        )
+        vals = pc.filter(v, pc.fill_null(mask, False))
+        if len(vals) == 0:
+            continue
+        pfx = pc.list_element(pc.split_pattern(vals, ":", max_splits=1), 0)
+        found.update(
+            p for p in pc.unique(pfx).to_pylist() if p
+        )  # base-prefix ':x' values contribute nothing
     return pa.table({"prefix": pa.array(sorted(found), pa.string())})
 
 
