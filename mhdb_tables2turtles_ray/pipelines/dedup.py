@@ -104,22 +104,57 @@ class MinHasher:
         ph = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
         return ph.min(axis=1).astype(np.uint64)
 
+    def signatures_batch(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) signatures with ONE vectorized hash pass.
+
+        ``pd.util.hash_array`` per doc pays its setup cost thousands of
+        times per batch (measured: ~2/3 of signature time); hashing all
+        shingles flat and segmenting the permuted-min with
+        ``np.minimum.reduceat`` produces bit-identical signatures (the
+        hash and the mod-Mersenne permutation are elementwise)."""
+        sigs = np.full(
+            (len(texts), self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        # Chunk by shingle count so the (num_perm × total_shingles)
+        # permuted matrix stays ~16 MB regardless of caller batch size
+        # (larger chunks measurably lose to cache misses).
+        budget = max(1, (16 << 20) // (8 * self.num_perm))
+        start = 0
+        while start < len(texts):
+            sh_lists, total, end = [], 0, start
+            while end < len(texts) and (total == 0 or total < budget):
+                sh = _shingles(texts[end] or "", self.k)
+                sh_lists.append(sh)
+                total += len(sh)
+                end += 1
+            lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
+            flat = [s for lst in sh_lists for s in lst]
+            if flat:
+                h = _stable_hash64(np.asarray(flat, dtype=object))  # (total,)
+                ph = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
+                nonzero = lens > 0
+                offsets = np.concatenate(([0], np.cumsum(lens)))[:-1][nonzero]
+                idx = np.arange(start, end)[nonzero]
+                sigs[idx] = np.minimum.reduceat(ph, offsets, axis=1).T.astype(
+                    np.uint64
+                )
+            start = end
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        all_sigs = self.signatures_batch(texts)
         if self.mode == "sigs":
-            sigs = [
-                self.signature(t).tolist() for t in batch.column("text").to_pylist()
-            ]
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
-                    "sig": pa.array(sigs, pa.list_(pa.uint64())),
+                    "sig": pa.array(all_sigs.tolist(), pa.list_(pa.uint64())),
                 }
             )
         carry = self.mode == "bands"
         doc_col, band_col, bhash_col, sig_col = [], [], [], []
-        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
-            sig = self.signature(text)
+        for doc_id, sig in zip(ids, all_sigs):
             sig_list = sig.tolist() if carry else None
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
@@ -357,12 +392,34 @@ class SimHasher:
         v = (2 * bits - 1).sum(axis=0)
         return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
+    def simhash_batch(self, texts: list) -> list[int]:
+        """All docs' simhashes with ONE vectorized hash pass — identical
+        values to :meth:`simhash` (elementwise hash; per-doc bit sums
+        segmented with ``np.add.reduceat``)."""
+        tok_lists = [(t or "").split() for t in texts]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        flat = [tok for lst in tok_lists for tok in lst]
+        if not flat:
+            return out.tolist()
+        h = _stable_hash64(np.asarray(flat, dtype=object))  # (total,)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        nonzero = lens > 0
+        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1][nonzero]
+        sums = np.add.reduceat(bits, offsets, axis=0)  # (n_nonzero, 64)
+        v = 2 * sums - lens[nonzero][:, None]  # sum of (2*bit - 1)
+        out[nonzero] = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1
+        )
+        return out.tolist()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         band_col, key_col, doc_col, sig_col = [], [], [], []
         mask = (1 << self.band_bits) - 1
-        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
-            sig = self.simhash(text)
+        all_sigs = self.simhash_batch(batch.column("text").to_pylist())
+        for doc_id, sig in zip(ids, all_sigs):
+            sig = int(sig)
             for band in range(self.n_bands):
                 band_col.append(band)
                 key_col.append((sig >> (band * self.band_bits)) & mask)
