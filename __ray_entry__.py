@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": tx.lang_id,
         "text_fingerprint": tx.fingerprints,
         "text_winnow": tx.winnow_fingerprints,  # rows-only (rolling hash)
+        "text_pii_scrub": tx.pii_scrub,
+        "text_top_tokens": tx.top_tokens,
+        "text_length_histogram": tx.length_histogram,
         # --- multimodal plumbing ---
         "mm_payload_meta": mm.payload_meta,
         "mm_frame_sample": mm.frame_sample,
@@ -280,6 +283,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        # PII patterns are RE2 on both engines (pyarrow + DuckDB), so
+        # replacement semantics match exactly
+        # sequential scrub (each pattern counted on the text as already
+        # scrubbed by the previous patterns), mirroring the engine
+        "text_pii_scrub": """
+            WITH s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t1
+              FROM documents
+            ), s2 AS (
+              SELECT doc_id,
+                     c1 + len(regexp_extract_all(t1,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS c2,
+                     regexp_replace(t1,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2,
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS clean_text,
+                   CAST(c2 + len(regexp_extract_all(t2,
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_redactions
+            FROM s2
+        """,
+        "text_top_tokens": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+              FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "text_length_histogram": """
+            SELECT CAST(floor(length(text) / 100.0) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "mm_payload_meta": f"""
             SELECT doc_id,

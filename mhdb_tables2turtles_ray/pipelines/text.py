@@ -149,6 +149,105 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# PII scrub patterns (RE2 on BOTH engines — pyarrow and DuckDB use RE2,
+# so replacement semantics are identical and the value-hash gate holds).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, clean_text, n_redactions) — regex redaction of
+    email/phone/IPv4 shapes, the standard pre-training privacy pass.
+    Fully vectorized (one RE2 replace + count per pattern per batch),
+    single streamed pass, no shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        total = np.zeros(len(text), dtype=np.int64)
+        for pattern, token in PII_PATTERNS:
+            total += (
+                pc.count_substring_regex(text, pattern)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            text = pc.replace_substring_regex(text, pattern, token)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": text,
+                "n_redactions": pa.array(total),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_tokens(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """(token, n) — the k most frequent whitespace tokens, deterministic
+    tiebreak (count desc, token asc). Heavy-hitter shape: per-batch
+    pyarrow group_by pre-aggregates before the (token-keyed, already
+    tiny) shuffle, so the exchange carries one row per distinct token
+    per block, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = pc.filter(flat, pc.not_equal(flat, ""))
+        t = pa.table({"token": flat})
+        return t.group_by(["token"]).aggregate([("token", "count")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partials.groupby("token").aggregate(Sum("token_count", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("n"), "n", pc.cast(batch.column("n"), pa.int64())
+        )
+
+    return (
+        counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def length_histogram(sf_dir: str, bucket_chars: int = 100) -> ray.data.Dataset:
+    """(bucket, n_docs) — document-length histogram (bucket = floor of
+    char count / ``bucket_chars``). Partial per-batch combine; the final
+    shuffle carries one row per bucket per block."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch.column("text"))
+        bucket = pc.cast(
+            pc.floor(pc.divide(pc.cast(n, pa.float64()), float(bucket_chars))),
+            pa.int64(),
+        )
+        t = pa.table({"bucket": bucket})
+        return t.group_by(["bucket"]).aggregate([("bucket", "count")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby("bucket").aggregate(Sum("bucket_count", alias_name="n_docs"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("n_docs"),
+            "n_docs",
+            pc.cast(batch.column("n_docs"), pa.int64()),
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _WINNOW_MOD = (1 << 61) - 1
 _WINNOW_BASE = 257
 

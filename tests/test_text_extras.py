@@ -1,0 +1,70 @@
+"""PII scrub / heavy-hitter / histogram text ops (unit level — the
+sf-dir pipelines are additionally oracle-gated by the driver)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from mhdb_tables2turtles_ray.pipelines.text import PII_PATTERNS
+
+
+def _scrub_batch(texts):
+    """Apply the pipeline's exact per-batch scrub to a local batch."""
+    text = pa.array(texts, pa.string())
+    total = np.zeros(len(texts), dtype=np.int64)
+    for pattern, token in PII_PATTERNS:
+        total += (
+            pc.count_substring_regex(text, pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        text = pc.replace_substring_regex(text, pattern, token)
+    return text.to_pylist(), total.tolist()
+
+
+def test_pii_scrub_redacts():
+    clean, counts = _scrub_batch(
+        [
+            "mail me at jane.doe+x@example.co.uk today",
+            "call 555-123-4567 or 555.987.6543",
+            "server at 192.168.0.1 port 80",
+            "no pii here at all",
+            "combo a@b.io 10.0.0.7 555-000-1111",
+        ]
+    )
+    assert clean[0] == "mail me at [EMAIL] today"
+    assert clean[1] == "call [PHONE] or [PHONE]"
+    assert clean[2] == "server at [IP] port 80"
+    assert clean[3] == "no pii here at all"
+    assert clean[4] == "combo [EMAIL] [IP] [PHONE]"
+    assert counts == [1, 2, 1, 0, 1 + 1 + 1]
+
+
+def test_pii_scrub_sequential_counting():
+    """A redaction token must not be re-counted by later patterns: the
+    engine counts each pattern on the already-scrubbed text."""
+    clean, counts = _scrub_batch(["x@y.zz then 1.2.3.4"])
+    assert clean == ["[EMAIL] then [IP]"]
+    assert counts == [2]
+
+
+def test_top_tokens_and_histogram(ray_session):
+    from mhdb_tables2turtles_ray.pipelines.text import (
+        length_histogram,
+        top_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    top = top_tokens(sf, k=5).take_all()
+    assert len(top) == 5
+    counts = [r["n"] for r in top]
+    assert counts == sorted(counts, reverse=True)  # count-desc order
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    hist = length_histogram(sf).take_all()
+    assert sum(r["n_docs"] for r in hist) == n_docs  # partition of the corpus
+    assert all(r["bucket"] >= 0 for r in hist)
