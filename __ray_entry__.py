@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": rel.sessionize,
         "rel_orders_semi": rel.orders_semi_join,
         "rel_orders_anti": rel.orders_anti_join,
+        "rel_order_customer_join": rel.order_customer_join,
         "rel_asof_last_purchase": rel.asof_last_purchase,
         "rel_approx_distinct_users": rel.approx_distinct_users,  # rows-only (sketch)
     }
@@ -421,6 +422,10 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                 AND l_shipdate < TIMESTAMP '1996-07-01'
             )
+        """,
+        "rel_order_customer_join": """
+            SELECT o_orderkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "rel_asof_last_purchase": """
             SELECT event_id, user_id,

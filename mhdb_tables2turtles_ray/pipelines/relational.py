@@ -330,6 +330,37 @@ def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
     return orders_semi_join(sf_dir, anti=True)
 
 
+def order_customer_join(sf_dir: str) -> ray.data.Dataset:
+    """Both-sides-big shuffle hash join (stages/shuffle_join.py):
+    orders ⋈ customer on custkey → (o_orderkey, o_totalprice, c_name).
+    The shape for when neither side fits a broadcast — one all-to-all,
+    coarse hash buckets, pandas merge inside each bucket task."""
+    from ..stages.shuffle_join import hash_join
+
+    def rename(col_from: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                ["custkey" if c == col_from else c for c in t.schema.names]
+            )
+
+        return fn
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(rename("o_custkey"), batch_format="pyarrow", zero_copy_batch=True)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        rename("c_custkey"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(
+        orders,
+        cust,
+        on="custkey",
+        left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=["c_name"],
+    )
+    return joined.select_columns(["o_orderkey", "o_totalprice", "c_name"])
+
+
 def asof_last_purchase(sf_dir: str) -> ray.data.Dataset:
     """As-of join (self, per key): for every event, the event_id of the
     most recent purchase by the same user at-or-before it in the

@@ -1,0 +1,70 @@
+"""Shuffle hash join — both sides big (neither fits a broadcast).
+
+The missing member of the join family (broadcast lookup, semi/anti,
+two-hop and as-of are elsewhere): tag each side, hash-partition BOTH on
+the key into ``num_buckets`` coarse buckets (one all-to-all total —
+rows of a key land in the same bucket task), and pandas-merge inside
+each bucket. Skewed keys are bounded by the bucket granularity the same
+way the grouped-map family is; salt the key upstream if a single key
+exceeds a worker (same contract as ``stages/grouped.py``).
+
+At 10^12-row scale this is the operator to AVOID when one side is
+small (use ``ray.put`` + map_batches lookup) or when only existence
+matters (``stages/semijoin.py``); it exists for the genuinely
+big-⋈-big case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_BUCKET = "__join_bucket"
+_SIDE = "__join_side"
+
+
+def hash_join(
+    left,
+    right,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_buckets: int = 256,
+    how: str = "inner",
+):
+    """Join two Datasets on ``on``; output columns = [on] + left_cols +
+    right_cols. ``how``: "inner" or "left". Column names must not
+    collide across sides (rename upstream with a map_batches if they
+    do)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how!r}")
+    all_cols = [on, *left_cols, *right_cols]
+
+    def pack(side: int, keep: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({on: df[on]})
+            for c in all_cols[1:]:
+                out[c] = df[c] if c in keep else None
+            out[_SIDE] = np.int8(side)
+            out[_BUCKET] = (
+                pd.util.hash_array(df[on].to_numpy()) % np.uint64(num_buckets)
+            ).astype(np.int64)
+            return out
+
+        return fn
+
+    tagged = left.select_columns([on, *left_cols]).map_batches(
+        pack(0, left_cols), batch_format="pandas"
+    ).union(
+        right.select_columns([on, *right_cols]).map_batches(
+            pack(1, right_cols), batch_format="pandas"
+        )
+    )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        ldf = part[part[_SIDE] == 0][[on, *left_cols]]
+        rdf = part[part[_SIDE] == 1][[on, *right_cols]]
+        return ldf.merge(rdf, on=on, how=how)[all_cols]
+
+    return tagged.groupby(_BUCKET).map_groups(merge, batch_format="pandas")

@@ -95,3 +95,42 @@ def test_orders_semi_bloom_superset(ray_session):
         r["o_orderkey"] for r in orders_semi_join(sf, anti=True).take_all()
     }
     assert anti_forced == anti_default  # anti ignores the threshold: exact
+
+
+def test_shuffle_hash_join(ray_session):
+    """Both-sides-big shuffle join: inner and left semantics, duplicate
+    keys on both sides (cartesian within key), missing keys."""
+    import pandas as pd
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.shuffle_join import hash_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "a": "l1"}, {"k": 1, "a": "l1b"}, {"k": 2, "a": "l2"},
+         {"k": 3, "a": "l3"}]
+    ).repartition(3)
+    right = ray.data.from_items(
+        [{"k": 1, "b": "r1"}, {"k": 2, "b": "r2"}, {"k": 2, "b": "r2b"},
+         {"k": 9, "b": "r9"}]
+    ).repartition(2)
+
+    inner = hash_join(left, right, on="k", left_cols=["a"], right_cols=["b"],
+                      num_buckets=8)
+    got = {(r["k"], r["a"], r["b"]) for r in inner.take_all()}
+    assert got == {
+        (1, "l1", "r1"), (1, "l1b", "r1"),
+        (2, "l2", "r2"), (2, "l2", "r2b"),
+    }
+
+    left_j = hash_join(left, right, on="k", left_cols=["a"], right_cols=["b"],
+                       num_buckets=8, how="left")
+    df = pd.DataFrame(left_j.take_all())
+    assert len(df) == 5  # 4 inner matches + the unmatched k=3 row
+    k3 = df[df["k"] == 3]
+    assert len(k3) == 1 and k3["b"].isna().all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_join(left, right, on="k", left_cols=["a"], right_cols=["b"],
+                  how="outer")
