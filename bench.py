@@ -126,6 +126,9 @@ def run_benchmarks() -> dict:
     bench("rel_sessionize", rel.sessionize)
     bench("rel_asof_last_purchase", rel.asof_last_purchase)
     bench("rel_orders_semi", rel.orders_semi_join)
+    bench("rel_order_customer_join", rel.order_customer_join)
+    bench("text_pii_scrub", tx.pii_scrub)
+    bench("text_top_tokens", tx.top_tokens)
     bench("kg_crosswalk_link", kq.crosswalk_link)
 
     return {
