@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_props": rel.events_props_extract,
         "rel_events_enumerate": rel.events_enumerate,
         "rel_sessionize": rel.sessionize,
+        "rel_events_sliding": rel.events_sliding_window,
+        "rel_events_sample": rel.events_sample_per_user,
         "rel_orders_semi": rel.orders_semi_join,
         "rel_orders_anti": rel.orders_anti_join,
         "rel_order_customer_join": rel.order_customer_join,
@@ -437,6 +439,29 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING
                    ) AS last_purchase_event_id
             FROM events
+        """,
+        "rel_events_sliding": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                               AND CURRENT ROW
+                   ) AS BIGINT) AS n_trailing
+            FROM events
+        """,
+        "rel_events_sample": """
+            WITH h AS (
+              SELECT user_id, event_id,
+                     md5(CAST(event_id AS VARCHAR)) AS hk
+              FROM events
+            ), r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY hk, event_id
+                     ) AS rn
+              FROM h
+            )
+            SELECT user_id, event_id FROM r WHERE rn <= 3
         """,
         "rel_sessionize": """
             WITH e AS (

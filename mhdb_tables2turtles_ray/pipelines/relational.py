@@ -417,6 +417,51 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> ray.data.Dataset:
     )
 
 
+def events_sliding_window(
+    sf_dir: str, window_seconds: int = 1800
+) -> ray.data.Dataset:
+    """Sliding-window aggregate (the tumbling window's sibling,
+    ``events_hourly``): for every event, the count of the same user's
+    events in the trailing ``window_seconds`` (inclusive of ts-peers on
+    both ends — RANGE-window semantics, so the result is deterministic
+    without a tiebreak). Coarse-bucketed grouped map; inside each group
+    a vectorized two-searchsorted pass, no per-row loop."""
+    from ..stages.grouped import grouped_map
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lo = np.searchsorted(ts, ts - window_seconds * 1_000_000, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # includes ts-peers
+        g["n_trailing"] = (hi - lo).astype(np.int64)
+        return g[["event_id", "user_id", "n_trailing"]]
+
+    return grouped_map(ds, "user_id", window)
+
+
+def events_sample_per_user(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Deterministic distributed sampling: the k events per user with
+    the smallest md5(event_id) — a seedless, order-independent sample
+    that any engine reproduces exactly (md5 is the cross-engine
+    'random' key; DuckDB's md5 matches hashlib's hex)."""
+    import hashlib as _hl
+
+    from ..stages.grouped import grouped_map
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def sample(g: pd.DataFrame) -> pd.DataFrame:
+        hk = [
+            _hl.md5(str(e).encode()).hexdigest() for e in g["event_id"].tolist()
+        ]
+        g = g.assign(__hk=hk).sort_values(["__hk", "event_id"], kind="mergesort")
+        return g.head(k)[["user_id", "event_id"]]
+
+    return grouped_map(ds, "user_id", sample)
+
+
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Session windows per user (stream-shaped op on the ordered log):
     a new session starts when the gap from the previous event exceeds
