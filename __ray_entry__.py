@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dd.simhash_pairs,  # rows-only (sketch)
         "dedup_jaccard_subset": dd.jaccard_pairs_subset,
         "dedup_embedding_cosine": dd.embedding_near_dup,
+        "dedup_keep_best": dd.dedup_keep_best,
         # --- similarity search ---
         "ann_topk": sim.ann_topk,
         "ann_ivf": sim.ann_ivf,  # rows-only (approximate by construction)
@@ -223,6 +224,34 @@ def oracle_sql() -> dict[str, str]:
               FROM d a JOIN d b ON a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+        """,
+        # connected components over the exact-Jaccard pair graph via
+        # recursive closure; survivors = component minima + unclustered
+        "dedup_keep_best": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+              FROM documents WHERE doc_id < 300
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.8
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p
+            ),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+            ),
+            comp AS (SELECT u AS doc_id, min(r) AS root FROM reach GROUP BY u)
+            SELECT doc_id FROM documents
+            LEFT JOIN comp USING (doc_id)
+            WHERE root IS NULL OR root = doc_id
         """,
         "dedup_embedding_cosine": """
             WITH q AS (

@@ -540,6 +540,67 @@ def jaccard_pairs_subset(
     return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _union_find_roots(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Connected components over the (bounded) pair list; root = the
+    component's smallest member. Pairs are sparse by construction
+    (near-dup candidates ≪ corpus — the same argument that bounds the
+    two-pass LSH candidate broadcast), so the driver union-find is the
+    pragmatic scale path; the corpus itself never leaves the cluster."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def dedup_keep_best(
+    sf_dir: str, max_doc_id: int = 300, threshold: float = 0.8
+) -> ray.data.Dataset:
+    """End-to-end near-dup REMOVAL (what a dedup pipeline is for):
+    cluster the near-dup pair graph (connected components, exact
+    n-gram-Jaccard pairs on the bounded subset so the result is
+    oracle-checkable) and keep one representative per cluster — the
+    smallest doc_id — plus every unclustered doc. Output: the surviving
+    (doc_id) set.
+
+    Shape: pairs (bounded) → driver union-find → broadcast root map →
+    one streamed membership filter over the corpus. The corpus is never
+    collected; the scale path swaps the exact pair source for
+    :func:`minhash_lsh_pairs` unchanged."""
+    import ray
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs_subset(sf_dir, max_doc_id, threshold).take_all()
+    ]
+    roots = _union_find_roots(pairs)
+    dropped = np.fromiter(
+        (n for n, r in roots.items() if r != n), dtype=np.int64
+    )
+    ref = ray.put(np.sort(dropped))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy()
+        mask = ~np.isin(ids, drop)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def embedding_near_dup(
     sf_dir: str, max_query_id: int = 100, threshold: float = 0.3
 ) -> ray.data.Dataset:

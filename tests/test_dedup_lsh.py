@@ -57,3 +57,39 @@ def test_band_row_width():
     assert sigs.num_rows == 2 and "sig" in sigs.schema.names
     s = np.asarray(sigs.column("sig").to_pylist())
     assert (s[0] == s[1]).all()  # identical text -> identical signature
+
+
+def test_union_find_roots():
+    from mhdb_tables2turtles_ray.pipelines.dedup import _union_find_roots
+
+    # two chains that merge + an isolated pair; root is the component min
+    roots = _union_find_roots([(5, 3), (3, 9), (20, 21), (9, 7)])
+    assert roots == {5: 3, 3: 3, 9: 3, 7: 3, 20: 20, 21: 20}
+    assert _union_find_roots([]) == {}
+
+
+def test_dedup_keep_best_partition(ray_session):
+    """Survivors + dropped = corpus; every cluster keeps exactly its
+    smallest member."""
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.pipelines.dedup import (
+        _union_find_roots,
+        dedup_keep_best,
+        jaccard_pairs_subset,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    survivors = {r["doc_id"] for r in dedup_keep_best(sf).take_all()}
+    all_ids = set(
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs_subset(sf).take_all()
+    ]
+    roots = _union_find_roots(pairs)
+    expected_dropped = {n for n, r in roots.items() if r != n}
+    assert survivors == all_ids - expected_dropped
+    assert {r for r in roots.values()} <= survivors  # every cluster's min kept
