@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": sim.ann_topk,
         "ann_ivf": sim.ann_ivf,  # rows-only (approximate by construction)
         "ann_ivf_kmeans": sim.ann_ivf_kmeans,  # rows-only (trained IVF, iterative)
+        "ann_topk_quantized": sim.ann_topk_quantized,  # rows-only (int8 quantized)
         # --- text analysis ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,

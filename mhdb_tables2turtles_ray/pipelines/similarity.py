@@ -163,6 +163,75 @@ def ann_ivf_kmeans(
     )
 
 
+def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """(vec_id, scale, qvec: list<int8>) — symmetric per-vector int8
+    quantization (scale = max|x| / 127), the memory-side scale lever for
+    ANN: 4× smaller vectors in the object store and on the wire. One
+    streamed pass, fully vectorized."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        emb = list_column_to_matrix(batch.column("embedding"))
+        scale = np.abs(emb).max(axis=1) / 127.0
+        scale = np.maximum(scale, 1e-12)
+        q = np.rint(emb / scale[:, None]).astype(np.int8)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "scale": pa.array(scale, pa.float64()),
+                "qvec": pa.array(q.tolist(), pa.list_(pa.int8())),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ann_topk_quantized(
+    sf_dir: str, k: int = 5, num_queries: int = 8
+) -> ray.data.Dataset:
+    """Brute-force cosine top-k over int8-DEQUANTIZED vectors — the
+    quantized variant of :func:`ann_topk` (approximate by quantization
+    error; recall vs the exact path is pinned by test). Same
+    partial/final shape; each batch dequantizes vectorized (q × scale)
+    before the matmul."""
+    qids, qmat = _query_block(sf_dir, num_queries)
+    qref = ray.put((qids, qmat))
+    ds = quantize_embeddings(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(qref)
+        vids = batch.column("vec_id").to_numpy()
+        scale = batch.column("scale").to_numpy()
+        q = list_column_to_matrix(batch.column("qvec"), dtype=np.float64)
+        emb = q * scale[:, None]
+        emb = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+        )
+        cos = mat_q @ emb.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            mask = vids != ids_q[qi]
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            order = cand[np.lexsort((vids[cand], -cos[qi][cand]))][:k]
+            out_q.extend([int(ids_q[qi])] * len(order))
+            out_v.extend(vids[order].tolist())
+            out_s.extend(cos[qi][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
 def ann_ivf(
     sf_dir: str, k: int = 5, num_queries: int = 8, nprobe: int = 2
 ) -> ray.data.Dataset:

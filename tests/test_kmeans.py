@@ -65,3 +65,31 @@ def test_ann_ivf_kmeans_runs(ray_session):
     e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
     recall = len(a & e) / len(e)
     assert recall > 0.2, recall  # approximate by construction; sanity bound
+
+
+def test_quantized_ann_recall(ray_session):
+    """int8 quantization must keep top-k recall high vs the exact path,
+    and the quantizer must round-trip within quantization error."""
+    import numpy as np
+
+    from mhdb_tables2turtles_ray.pipelines.similarity import (
+        ann_topk,
+        ann_topk_quantized,
+        quantize_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk(sf).take_all()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_quantized(sf).take_all()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
+
+    row = quantize_embeddings(sf).take(1)[0]
+    q = np.asarray(row["qvec"], dtype=np.int8)
+    assert q.min() >= -127 and q.max() <= 127
+    assert row["scale"] > 0
