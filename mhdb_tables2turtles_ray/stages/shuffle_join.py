@@ -32,14 +32,26 @@ def hash_join(
     right_cols: list[str],
     num_buckets: int = 256,
     how: str = "inner",
+    hot_keys=None,
+    salt: int = 8,
 ):
     """Join two Datasets on ``on``; output columns = [on] + left_cols +
     right_cols. ``how``: "inner" or "left". Column names must not
     collide across sides (rename upstream with a map_batches if they
-    do)."""
+    do).
+
+    ``hot_keys`` + ``salt``: explicit skew handling — each listed hot
+    key's LEFT rows spread across ``salt`` private sub-buckets (salted
+    by a content hash — deterministic, block-structure-independent)
+    while its RIGHT rows REPLICATE into all ``salt`` sub-buckets, so
+    every left row still sees every match. Results are identical to the
+    unsalted join (tested); only task balance changes. Use when one key
+    would otherwise exceed a single bucket task.
+    """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how!r}")
     all_cols = [on, *left_cols, *right_cols]
+    hot_index = {k: i for i, k in enumerate(hot_keys)} if hot_keys else {}
 
     def pack(side: int, keep: list[str]):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -50,6 +62,28 @@ def hash_join(
             out[_BUCKET] = (
                 pd.util.hash_array(df[on].to_numpy()) % np.uint64(num_buckets)
             ).astype(np.int64)
+            if hot_index:
+                hot_pos = df[on].map(hot_index)
+                is_hot = hot_pos.notna().to_numpy()
+                if is_hot.any():
+                    base = num_buckets + hot_pos.to_numpy(
+                        dtype=float, na_value=0
+                    ).astype(np.int64) * salt
+                    if side == 0:
+                        sub = (
+                            pd.util.hash_pandas_object(df, index=False).to_numpy()
+                            % np.uint64(salt)
+                        ).astype(np.int64)
+                        out.loc[is_hot, _BUCKET] = (base + sub)[is_hot]
+                    else:
+                        # replicate hot right rows into every sub-bucket
+                        rep = out[is_hot]
+                        frames = [out[~is_hot]]
+                        for s in range(salt):
+                            r = rep.copy()
+                            r[_BUCKET] = base[is_hot] + s
+                            frames.append(r)
+                        out = pd.concat(frames, ignore_index=True)
             return out
 
         return fn

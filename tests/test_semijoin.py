@@ -134,3 +134,44 @@ def test_shuffle_hash_join(ray_session):
     with pytest.raises(ValueError):
         hash_join(left, right, on="k", left_cols=["a"], right_cols=["b"],
                   how="outer")
+
+
+def test_shuffle_hash_join_salted_matches_unsalted(ray_session):
+    """Hot-key salting changes task balance only — the joined rows are
+    identical to the unsalted join (hot left rows spread over salt
+    sub-buckets, hot right rows replicated into each)."""
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.shuffle_join import hash_join
+
+    # key 7 is hot: 50 left rows, 3 right rows
+    left = ray.data.from_items(
+        [{"k": 7, "a": f"h{i}"} for i in range(50)]
+        + [{"k": 1, "a": "c1"}, {"k": 2, "a": "c2"}]
+    ).repartition(4)
+    right = ray.data.from_items(
+        [{"k": 7, "b": f"r{j}"} for j in range(3)] + [{"k": 2, "b": "rc"}]
+    ).repartition(2)
+
+    plain = {
+        (r["k"], r["a"], r["b"])
+        for r in hash_join(
+            left, right, on="k", left_cols=["a"], right_cols=["b"], num_buckets=8
+        ).take_all()
+    }
+    salted = {
+        (r["k"], r["a"], r["b"])
+        for r in hash_join(
+            left, right, on="k", left_cols=["a"], right_cols=["b"],
+            num_buckets=8, hot_keys=[7], salt=4,
+        ).take_all()
+    }
+    assert salted == plain
+    assert len(plain) == 150 + 1  # 50×3 hot matches + the k=2 match
+
+    # left join with salting keeps unmatched rows exactly once
+    lj = hash_join(
+        left, right, on="k", left_cols=["a"], right_cols=["b"],
+        num_buckets=8, how="left", hot_keys=[7], salt=4,
+    ).take_all()
+    assert sum(1 for r in lj if r["k"] == 1) == 1
