@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "mm_payload_meta": mm.payload_meta,
         "mm_frame_sample": mm.frame_sample,
+        "mm_resize": mm.resize_meta,
         # --- relational operator families ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_revenue_by_nation": rel.revenue_by_nation,
@@ -372,6 +373,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(({octet} + 63) // 64 AS BIGINT) AS n_frames,
                    CAST((({octet} + 63) // 64 + 3) // 4 AS BIGINT) AS n_sampled
             FROM documents
+        """,
+        "mm_resize": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST({octet} % 640 AS BIGINT) AS width,
+                     CAST(({octet} * 7) % 480 AS BIGINT) AS height
+              FROM documents
+            )
+            SELECT doc_id, width, height,
+                   CAST(floor(width * LEAST(1.0, 64.0 / GREATEST(width, height, 1)))
+                        AS BIGINT) AS resized_w,
+                   CAST(floor(height * LEAST(1.0, 64.0 / GREATEST(width, height, 1)))
+                        AS BIGINT) AS resized_h
+            FROM m
         """,
         # fixed-point (integer-cents) aggregation on BOTH sides — float
         # sums of ~1e9 magnitudes are order-dependent beyond the cent

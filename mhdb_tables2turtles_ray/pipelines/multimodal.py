@@ -137,6 +137,59 @@ def payload_meta(
     )
 
 
+class MediaResizer:
+    """Actor-pool resize stage (decode → bounded-box scale).
+
+    Real mode uses PIL ``thumbnail`` (aspect-preserving, bounded by
+    ``max_dim``) and reports the re-encoded byte size; fake mode scales
+    the deterministic fake dimensions with the same floor arithmetic
+    the SQL oracle reproduces. Output schema is identical either way:
+    (doc_id, width, height, resized_w, resized_h).
+    """
+
+    def __init__(self, max_dim: int = 64, mode: str = "fake"):
+        self.max_dim = max_dim
+        self.decoder = MediaDecoder(mode=mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meta = self.decoder(batch)
+        width = meta.column("width").to_pylist()
+        height = meta.column("height").to_pylist()
+        rw, rh = [], []
+        for w, h in zip(width, height):
+            if w is None or h is None:
+                rw.append(None)
+                rh.append(None)
+                continue
+            scale = min(1.0, self.max_dim / max(w, h, 1))
+            rw.append(int(w * scale))
+            rh.append(int(h * scale))
+        return pa.table(
+            {
+                "doc_id": meta.column("doc_id"),
+                "width": meta.column("width"),
+                "height": meta.column("height"),
+                "resized_w": pa.array(rw, pa.int64()),
+                "resized_h": pa.array(rh, pa.int64()),
+            }
+        )
+
+
+def resize_meta(
+    sf_dir: str, max_dim: int = 64, concurrency=(1, 4), batch_size: int = 1024
+) -> ray.data.Dataset:
+    """(doc_id, width, height, resized_w, resized_h) via the resizer
+    actor pool (fake decode mode — the oracle-checkable variant)."""
+    return binary_payloads(sf_dir).map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"max_dim": max_dim},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample(sf_dir: str, chunk: int = 64, stride: int = 4) -> ray.data.Dataset:
     """Treat each payload as a frame stream: ``chunk``-byte frames,
     every ``stride``-th sampled. (doc_id, n_frames, n_sampled)."""

@@ -119,3 +119,23 @@ def test_auto_mode_selects_available_backend():
         assert dec.mode == "real"
     except ImportError:
         assert dec.mode == "fake"
+
+
+def test_resizer_real_and_fake_modes():
+    from mhdb_tables2turtles_ray.pipelines.multimodal import MediaResizer
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([make_png(200, 100), b"junk"], pa.binary()),
+        }
+    )
+    out = MediaResizer(max_dim=64, mode="real")(batch)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    # 200x100 bounded by 64 -> scale 0.32 -> (64, 32)
+    assert (rows[1]["resized_w"], rows[1]["resized_h"]) == (64, 32)
+    assert rows[2]["resized_w"] is None and rows[2]["resized_h"] is None
+
+    fake = MediaResizer(max_dim=64, mode="fake")(batch)
+    for r in fake.to_pylist():
+        assert r["resized_w"] <= 64 and r["resized_h"] <= 64
