@@ -39,23 +39,28 @@ def render_turtle_blocks(table: pa.Table) -> str:
     set-iteration order (not stable run-to-run); sorting makes our shards
     byte-deterministic while preserving the identical triple SET.
     """
+    import pyarrow.compute as pc
+
     table = table.sort_by(
         [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
     )
-    subjs = table.column("subj").to_pylist()
-    preds = table.column("pred").to_pylist()
-    objs = table.column("obj").to_pylist()
-    blocks: list[str] = []
-    pairs: list[str] = []
-    current = None
-    for s, p, o in zip(subjs, preds, objs):
-        if s != current:
-            if pairs:
-                blocks.append("{} {} .".format(current, " ;\n\t".join(pairs)))
-            current, pairs = s, []
-        pairs.append(f"{p} {o}")
-    if pairs:
-        blocks.append("{} {} .".format(current, " ;\n\t".join(pairs)))
+    if table.num_rows == 0:
+        return ""
+    # "pred obj" formatted vectorized; the remaining Python work is one
+    # join per subject BLOCK (runs in the sorted order), not per row.
+    pair_col = pc.binary_join_element_wise(
+        table.column("pred").combine_chunks(),
+        table.column("obj").combine_chunks(),
+        " ",
+    )
+    subjs = np.asarray(table.column("subj").to_pylist(), dtype=object)
+    pairs = np.asarray(pair_col.to_pylist(), dtype=object)
+    starts = np.concatenate(([0], np.flatnonzero(subjs[1:] != subjs[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [len(subjs)]))
+    blocks = [
+        "{} {} .".format(subjs[a], " ;\n\t".join(pairs[a:b]))
+        for a, b in zip(starts, ends)
+    ]
     return "\n\n".join(blocks)
 
 
