@@ -26,13 +26,13 @@ def manifest_path(out_dir: str, pid: int) -> str:
     return os.path.join(out_dir, "_manifests", f"part-{pid:05d}.json")
 
 
-def data_path(out_dir: str, pid: int) -> str:
-    return os.path.join(out_dir, f"part-{pid:05d}.ttl")
+def data_path(out_dir: str, pid: int, ext: str = ".ttl") -> str:
+    return os.path.join(out_dir, f"part-{pid:05d}{ext}")
 
 
-def partition_done(out_dir: str, pid: int) -> bool:
+def partition_done(out_dir: str, pid: int, ext: str = ".ttl") -> bool:
     mpath = manifest_path(out_dir, pid)
-    dpath = data_path(out_dir, pid)
+    dpath = data_path(out_dir, pid, ext)
     if not (os.path.exists(mpath) and os.path.exists(dpath)):
         return False
     try:
@@ -45,8 +45,10 @@ def partition_done(out_dir: str, pid: int) -> bool:
         return False
 
 
-def completed_partitions(out_dir: str, num_partitions: int) -> set[int]:
-    return {p for p in range(num_partitions) if partition_done(out_dir, p)}
+def completed_partitions(
+    out_dir: str, num_partitions: int, ext: str = ".ttl"
+) -> set[int]:
+    return {p for p in range(num_partitions) if partition_done(out_dir, p, ext)}
 
 
 def write_partition_atomic(out_dir: str, pid: int, text: str, meta: dict) -> dict:
@@ -69,6 +71,34 @@ def write_partition_atomic(out_dir: str, pid: int, text: str, meta: dict) -> dic
         "bytes": len(payload),
         **meta,
     }
+    mpath = manifest_path(out_dir, pid)
+    tmp = mpath + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, mpath)
+    return manifest
+
+
+def finalize_partition_atomic(
+    out_dir: str, pid: int, tmp_path: str, meta: dict, ext: str
+) -> dict:
+    """Promote an already-written temp data file: rename into place
+    (atomic on POSIX), hash it, THEN write the manifest — same
+    data-first/manifest-last protocol as :func:`write_partition_atomic`,
+    for sinks whose serializer writes files itself (e.g. parquet)."""
+    dpath = data_path(out_dir, pid, ext)
+    os.rename(tmp_path, dpath)
+    with open(dpath, "rb") as f:
+        payload = f.read()
+    manifest = {
+        "pid": pid,
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "bytes": len(payload),
+        **meta,
+    }
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
     mpath = manifest_path(out_dir, pid)
     tmp = mpath + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
