@@ -38,6 +38,19 @@ def main(argv=None) -> int:
     b.add_argument("--num-cpus", type=int, default=None,
                    help="local-mode CPU count (ignored under ray job submit)")
 
+    x = sub.add_parser(
+        "export",
+        help="run a registry query and write it as resumable "
+             "hash-partitioned parquet",
+    )
+    x.add_argument("--query", required=True, help="name from the query registry")
+    x.add_argument("--sf-dir", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--key", required=True, help="partition key column")
+    x.add_argument("--partitions", type=int, default=16)
+    x.add_argument("--no-resume", action="store_true")
+    x.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     import ray
@@ -50,6 +63,25 @@ def main(argv=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "export":
+        from .pipelines.registry import queries
+        from .stages.parquet_sink import write_partitioned_parquet
+
+        reg = queries()
+        if args.query not in reg:
+            print(json.dumps({"error": f"unknown query {args.query!r}",
+                              "available": sorted(reg)}))
+            ray.shutdown()
+            return 2
+        result = reg[args.query](args.sf_dir)
+        summary = write_partitioned_parquet(
+            result, args.out, args.key,
+            num_partitions=args.partitions, resume=not args.no_resume,
+        )
+        print(json.dumps({"query": args.query, "out_dir": args.out, **summary}))
+        ray.shutdown()
+        return 0
 
     from .pipelines.kg import kg_build
     from .sources.corpus import corpus_from_documents

@@ -1,0 +1,512 @@
+"""Query / oracle registry — the library-owned catalog behind the
+driver contract (``__ray_entry__`` delegates here) and the CLI
+``export`` command. One entry per implemented pipeline; oracle_sql
+holds the DuckDB-equivalent SQL for every exactly-checkable query
+(column names matched to the Ray output by construction)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    from mhdb_tables2turtles_ray.pipelines import dedup as dd
+    from mhdb_tables2turtles_ray.pipelines import kg as kg
+    from mhdb_tables2turtles_ray.pipelines import kg_queries as kq
+    from mhdb_tables2turtles_ray.pipelines import multimodal as mm
+    from mhdb_tables2turtles_ray.pipelines import relational as rel
+    from mhdb_tables2turtles_ray.pipelines import similarity as sim
+    from mhdb_tables2turtles_ray.pipelines import text as tx
+
+    return {
+        # --- KG construction (SURVEY.md §2) ---
+        "kg_doc_triples": kq.doc_triples,
+        "kg_doc_prefixes": kq.doc_prefixes,
+        "kg_subject_degree": kq.subject_degree,
+        "kg_entity_link_lang": kq.entity_link_lang,
+        "kg_doc_sha256": kq.doc_sha256,
+        "kg_flagship_corpus": kg.kg_from_documents,  # rows-only (sha1 commits)
+        "kg_reified_triples": kq.reified_doc_triples,
+        "kg_subject_degree_salted": kq.subject_degree_salted,
+        "kg_event_seq": kq.event_seq,
+        "kg_crosswalk_link": kq.crosswalk_link,
+        "rel_supplier_region": kq.supplier_region,
+        # --- dedup family ---
+        "dedup_exact": dd.exact_dedup,
+        "dedup_minhash_lsh": dd.minhash_lsh_pairs,  # rows-only (sketch)
+        "dedup_simhash": dd.simhash_pairs,  # rows-only (sketch)
+        "dedup_jaccard_subset": dd.jaccard_pairs_subset,
+        "dedup_embedding_cosine": dd.embedding_near_dup,
+        "dedup_keep_best": dd.dedup_keep_best,
+        # --- similarity search ---
+        "ann_topk": sim.ann_topk,
+        "ann_ivf": sim.ann_ivf,  # rows-only (approximate by construction)
+        "ann_ivf_kmeans": sim.ann_ivf_kmeans,  # rows-only (trained IVF, iterative)
+        "ann_topk_quantized": sim.ann_topk_quantized,  # rows-only (int8 quantized)
+        # --- text analysis ---
+        "text_token_counts": tx.token_counts,
+        "text_quality": tx.quality_scores,
+        "text_lang_id": tx.lang_id,
+        "text_fingerprint": tx.fingerprints,
+        "text_winnow": tx.winnow_fingerprints,  # rows-only (rolling hash)
+        "text_pii_scrub": tx.pii_scrub,
+        "text_top_tokens": tx.top_tokens,
+        "text_length_histogram": tx.length_histogram,
+        # --- multimodal plumbing ---
+        "mm_payload_meta": mm.payload_meta,
+        "mm_frame_sample": mm.frame_sample,
+        "mm_resize": mm.resize_meta,
+        # --- relational operator families ---
+        "rel_pricing_summary": rel.pricing_summary,
+        "rel_revenue_by_nation": rel.revenue_by_nation,
+        "rel_topk_orders": rel.topk_orders,
+        "rel_filter_project": rel.filter_project_revenue,
+        "rel_distinct_event_types": rel.distinct_event_types,
+        "rel_events_hourly": rel.events_hourly,
+        "rel_events_props": rel.events_props_extract,
+        "rel_events_enumerate": rel.events_enumerate,
+        "rel_sessionize": rel.sessionize,
+        "rel_events_sliding": rel.events_sliding_window,
+        "rel_events_sample": rel.events_sample_per_user,
+        "rel_orders_semi": rel.orders_semi_join,
+        "rel_orders_anti": rel.orders_anti_join,
+        "rel_order_customer_join": rel.order_customer_join,
+        "rel_asof_last_purchase": rel.asof_last_purchase,
+        "rel_approx_distinct_users": rel.approx_distinct_users,  # rows-only (sketch)
+    }
+
+
+
+
+def oracle_sql() -> dict[str, str]:
+    from mhdb_tables2turtles_ray.pipelines.kg_queries import (
+        DOC_TRIPLES_SQL,
+        LANG_CASE_SQL,
+    )
+
+    tokens = "regexp_extract_all(text, '\\S+')"
+    stop_hits = f"len(list_filter({tokens}, x -> x IN ('the', 'a')))"
+    hits_en = stop_hits
+    hits_de = f"len(list_filter({tokens}, x -> x IN ('der', 'die', 'das')))"
+    hits_fr = f"len(list_filter({tokens}, x -> x IN ('le', 'la', 'les')))"
+    octet = "octet_length(encode(text))"
+
+    return {
+        "kg_doc_triples": DOC_TRIPLES_SQL,
+        "kg_doc_prefixes": f"""
+            WITH triples AS ({DOC_TRIPLES_SQL}),
+            vals AS (
+              SELECT subj AS v FROM triples
+              UNION ALL SELECT pred FROM triples
+              UNION ALL SELECT obj FROM triples
+            )
+            SELECT DISTINCT split_part(v, ':', 1) AS prefix FROM vals
+            WHERE contains(v, ':') AND NOT contains(v, '://')
+              AND NOT starts_with(v, '"') AND split_part(v, ':', 1) <> ''
+        """,
+        "kg_subject_degree": f"""
+            WITH triples AS ({DOC_TRIPLES_SQL})
+            SELECT subj, CAST(count(*) AS BIGINT) AS degree
+            FROM triples GROUP BY subj
+        """,
+        "kg_entity_link_lang": f"""
+            SELECT doc_id, COALESCE({LANG_CASE_SQL}, 'UNKNOWN') AS canonical
+            FROM documents
+        """,
+        "kg_doc_sha256": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        "kg_reified_triples": f"""
+            WITH triples AS ({DOC_TRIPLES_SQL}),
+            b AS (
+              SELECT '_:' || regexp_replace(
+                       subj || '_' || pred || '_' || obj,
+                       '[^a-zA-Z0-9_-]', '', 'g') AS bnode,
+                     subj, pred, obj
+              FROM triples
+            )
+            SELECT bnode AS subj, 'rdf:type' AS pred, 'rdf:Statement' AS obj FROM b
+            UNION ALL SELECT bnode, 'rdf:subject', subj FROM b
+            UNION ALL SELECT bnode, 'rdf:predicate', pred FROM b
+            UNION ALL SELECT bnode, 'rdf:object', obj FROM b
+        """,
+        "kg_subject_degree_salted": f"""
+            WITH triples AS ({DOC_TRIPLES_SQL})
+            SELECT subj, CAST(count(*) AS BIGINT) AS degree
+            FROM triples GROUP BY subj
+        """,
+        "kg_event_seq": """
+            WITH r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn
+              FROM events
+            )
+            SELECT ':User_' || user_id || '_Events' AS subj,
+                   'a' AS pred, 'rdf:Seq' AS obj
+            FROM (SELECT DISTINCT user_id FROM events)
+            UNION ALL
+            SELECT ':User_' || user_id || '_Events',
+                   'rdf:_' || rn, ':Event_' || event_id
+            FROM r WHERE rn <= 5
+        """,
+        # Mirrors the deterministic 5-table waterfall in
+        # sources/vocab.py:crosswalk_tables — id ranges overlap, priority
+        # order tasks > implementations > indicators > conditions >
+        # contrasts; tasks/implementations are PascalCase-minted, the
+        # rest delimited; 'error' events carry an unknown reln → dropped.
+        "kg_crosswalk_link": """
+            WITH e AS (
+              SELECT user_id % 110 AS s, event_id % 110 AS o,
+                     CASE event_type
+                       WHEN 'click' THEN 'dcterms:isPartOf'
+                       WHEN 'purchase' THEN ':measuredBy'
+                       WHEN 'signup' THEN ':asserts'
+                       WHEN 'view' THEN 'rdfs:subClassOf'
+                     END AS pred
+              FROM events
+              WHERE event_type IN ('click', 'purchase', 'signup', 'view')
+            ),
+            named AS (
+              SELECT
+                CASE WHEN s < 30 THEN ':TasksNode' || s
+                     WHEN s < 50 THEN ':Task_ImplementationsNode' || s
+                     WHEN s < 70 THEN ':task_indicators_node_' || s
+                     WHEN s < 90 THEN ':task_conditions_node_' || s
+                     ELSE ':task_contrasts_node_' || s END AS subj,
+                pred,
+                CASE WHEN o < 30 THEN ':TasksNode' || o
+                     WHEN o < 50 THEN ':Task_ImplementationsNode' || o
+                     WHEN o < 70 THEN ':task_indicators_node_' || o
+                     WHEN o < 90 THEN ':task_conditions_node_' || o
+                     ELSE ':task_contrasts_node_' || o END AS obj
+              FROM e
+            )
+            SELECT DISTINCT subj, pred, obj FROM named
+        """,
+        "rel_supplier_region": """
+            SELECT s_suppkey, r_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard_subset": """
+            WITH d AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+              FROM documents WHERE doc_id < 300
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                     AS jaccard
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+        """,
+        # connected components over the exact-Jaccard pair graph via
+        # recursive closure; survivors = component minima + unclustered
+        "dedup_keep_best": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+              FROM documents WHERE doc_id < 300
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.8
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p
+            ),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+            ),
+            comp AS (SELECT u AS doc_id, min(r) AS root FROM reach GROUP BY u)
+            SELECT doc_id FROM documents
+            LEFT JOIN comp USING (doc_id)
+            WHERE root IS NULL OR root = doc_id
+        """,
+        "dedup_embedding_cosine": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 100
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6)
+                     AS cosine
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id > q.query_id
+            )
+            SELECT query_id, vec_id, cosine FROM s WHERE cosine >= 0.3
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                     ) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+                   round(sim, 6) AS cosine
+            FROM r WHERE rank <= 5
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id, CAST(len({tokens}) AS BIGINT) AS n_tokens FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_text,
+                   CAST(len({tokens}) AS BIGINT) AS n_tokens,
+                   CAST({stop_hits} AS BIGINT) AS stop_hits,
+                   CASE WHEN len({tokens}) > 0
+                        THEN CAST({stop_hits} AS DOUBLE) / len({tokens})
+                        ELSE 0.0 END AS stop_ratio
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN {hits_en} >= {hits_de} AND {hits_en} >= {hits_fr}
+                          AND {hits_en} > 0 THEN 'en'
+                     WHEN {hits_de} >= {hits_fr} AND {hits_de} > 0 THEN 'de'
+                     WHEN {hits_fr} > 0 THEN 'fr'
+                     ELSE 'unknown'
+                   END AS predicted_lang
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        # PII patterns are RE2 on both engines (pyarrow + DuckDB), so
+        # replacement semantics match exactly
+        # sequential scrub (each pattern counted on the text as already
+        # scrubbed by the previous patterns), mirroring the engine
+        "text_pii_scrub": """
+            WITH s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t1
+              FROM documents
+            ), s2 AS (
+              SELECT doc_id,
+                     c1 + len(regexp_extract_all(t1,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS c2,
+                     regexp_replace(t1,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2,
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS clean_text,
+                   CAST(c2 + len(regexp_extract_all(t2,
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_redactions
+            FROM s2
+        """,
+        "text_top_tokens": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+              FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "text_length_histogram": """
+            SELECT CAST(floor(length(text) / 100.0) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "mm_payload_meta": f"""
+            SELECT doc_id,
+                   CAST({octet} AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256,
+                   CAST({octet} % 640 AS BIGINT) AS width,
+                   CAST(({octet} * 7) % 480 AS BIGINT) AS height
+            FROM documents
+        """,
+        "mm_frame_sample": f"""
+            SELECT doc_id,
+                   CAST(({octet} + 63) // 64 AS BIGINT) AS n_frames,
+                   CAST((({octet} + 63) // 64 + 3) // 4 AS BIGINT) AS n_sampled
+            FROM documents
+        """,
+        "mm_resize": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST({octet} % 640 AS BIGINT) AS width,
+                     CAST(({octet} * 7) % 480 AS BIGINT) AS height
+              FROM documents
+            )
+            SELECT doc_id, width, height,
+                   CAST(floor(width * LEAST(1.0, 64.0 / GREATEST(width, height, 1)))
+                        AS BIGINT) AS resized_w,
+                   CAST(floor(height * LEAST(1.0, 64.0 / GREATEST(width, height, 1)))
+                        AS BIGINT) AS resized_h
+            FROM m
+        """,
+        # fixed-point (integer-cents) aggregation on BOTH sides — float
+        # sums of ~1e9 magnitudes are order-dependent beyond the cent
+        # boundary, so exact matching requires exact integer sums
+        "rel_pricing_summary": """
+            WITH t AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                     CAST(round((1 - l_discount) * 100) AS BIGINT) AS dunits
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(qty) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+                   round(CAST(sum(cents * dunits) AS DOUBLE) / 10000.0, 2)
+                     AS sum_disc_price,
+                   round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*), 6)
+                     AS avg_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM t GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_revenue_by_nation": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "rel_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "rel_filter_project": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        "rel_distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "rel_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                         / 100.0, 2) AS sum_value,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "rel_events_props": """
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+            FROM events
+        """,
+        "rel_events_enumerate": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS ordinal
+            FROM events
+        """,
+        "rel_orders_semi": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-07-01'
+            )
+        """,
+        "rel_orders_anti": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-07-01'
+            )
+        """,
+        "rel_order_customer_join": """
+            SELECT o_orderkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "rel_asof_last_purchase": """
+            SELECT event_id, user_id,
+                   last_value(
+                     CASE WHEN event_type = 'purchase' THEN event_id END
+                     IGNORE NULLS
+                   ) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS last_purchase_event_id
+            FROM events
+        """,
+        "rel_events_sliding": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                               AND CURRENT ROW
+                   ) AS BIGINT) AS n_trailing
+            FROM events
+        """,
+        "rel_events_sample": """
+            WITH h AS (
+              SELECT user_id, event_id,
+                     md5(CAST(event_id AS VARCHAR)) AS hk
+              FROM events
+            ), r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY hk, event_id
+                     ) AS rn
+              FROM h
+            )
+            SELECT user_id, event_id FROM r WHERE rn <= 3
+        """,
+        "rel_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                          )) > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_id,
+                     CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) + 1 AS BIGINT) AS session_id
+              FROM e
+            )
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(event_id) AS first_event_id
+            FROM s GROUP BY user_id, session_id
+        """,
+    }
