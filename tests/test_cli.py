@@ -50,3 +50,31 @@ def test_cli_build_validate_and_resume(tmp_path):
     )
     assert second["written"] == []
     assert sorted(second["skipped"]) == sorted(first["written"])
+
+
+def test_cli_export_and_resume(tmp_path):
+    out_dir = str(tmp_path / "exp")
+    args = [
+        "export",
+        "--query", "text_token_counts",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out_dir,
+        "--key", "doc_id",
+        "--partitions", "4",
+        "--num-cpus", "4",
+    ]
+    first = _run(args)
+    assert first["n_rows"] == 500 and sorted(first["written"]) == [0, 1, 2, 3]
+    second = _run(args)  # resume: everything already done
+    assert second["written"] == [] and sorted(second["skipped"]) == [0, 1, 2, 3]
+
+
+def test_cli_export_unknown_query(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", "export",
+         "--query", "nope", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", str(tmp_path / "x"), "--key", "doc_id", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=240,
+    )
+    assert out.returncode == 2
+    assert "unknown query" in out.stdout
