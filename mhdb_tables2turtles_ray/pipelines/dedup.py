@@ -177,7 +177,7 @@ class MinHasher:
 
 
 def minhash_lsh_pairs(
-    sf_dir: str,
+    sf_dir: str | None = None,
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
@@ -185,8 +185,12 @@ def minhash_lsh_pairs(
     max_bucket: int = 200,
     concurrency=(1, 8),
     carry_sig: bool = False,
+    ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash + banded LSH.
+
+    ``ds`` overrides the sf-dir read with any (doc_id, text) Dataset —
+    the library-composition entry (and the scale-stress harness).
 
     Output (doc_a, doc_b, est_jaccard): candidate pairs sharing ≥1 LSH
     bucket whose signature-estimated Jaccard ≥ ``threshold``. Estimated
@@ -213,7 +217,8 @@ def minhash_lsh_pairs(
         broadcast — the fallback when candidates are NOT sparse (a
         dup-saturated corpus would blow the candidate broadcast).
     """
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     hasher_kwargs = {
         "num_perm": num_perm,
         "shingle_k": shingle_k,
