@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": rel.sessionize,
         "rel_events_sliding": rel.events_sliding_window,
         "rel_events_sample": rel.events_sample_per_user,
+        "rel_value_median_by_type": rel.value_median_by_type,
+        "rel_distinct_users_by_type": rel.distinct_users_by_type,
         "rel_orders_semi": rel.orders_semi_join,
         "rel_orders_anti": rel.orders_anti_join,
         "rel_order_customer_join": rel.order_customer_join,
@@ -464,6 +466,14 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING
                    ) AS last_purchase_event_id
             FROM events
+        """,
+        "rel_value_median_by_type": """
+            SELECT event_type, median(value) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "rel_distinct_users_by_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "rel_events_sliding": """
             SELECT event_id, user_id,

@@ -330,6 +330,59 @@ def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
     return orders_semi_join(sf_dir, anti=True)
 
 
+def value_median_by_type(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, median_value) — exact per-group median (the quantile
+    family's oracle-checkable member; the sketch path for true scale is
+    a mergeable digest, but per-type groups here are bounded).
+    groupby(event_type) over few coarse groups; numpy's interpolated
+    median matches DuckDB's ``median`` (quantile_cont 0.5) exactly on
+    these 2-decimal values."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_value": [float(np.median(g["value"].to_numpy()))],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, n_users) — exact distinct count per group, the
+    two-level shape: per-batch distinct (type, user) pairs pre-shrink
+    the shuffle, the pair groupby dedups globally, then a tiny count
+    per type."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    distinct_pairs = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="__c"))
+    )
+    final = distinct_pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("n_users"),
+            "n_users",
+            pc.cast(batch.column("n_users"), pa.int64()),
+        )
+
+    return final.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["event_type", "n_users"])
+
+
 def order_customer_join(sf_dir: str) -> ray.data.Dataset:
     """Both-sides-big shuffle hash join (stages/shuffle_join.py):
     orders ⋈ customer on custkey → (o_orderkey, o_totalprice, c_name).
