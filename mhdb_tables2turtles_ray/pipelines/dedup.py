@@ -651,3 +651,90 @@ def embedding_near_dup(
         )
 
     return ds.map_batches(sims, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def incremental_exact_dedup(
+    sf_dir: str | None,
+    index_dir: str,
+    ds: ray.data.Dataset | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact dedup against a PERSISTED fingerprint index — the
+    incremental-ingestion shape (daily crawl batches arriving against an
+    ever-growing corpus):
+
+    1. load the existing index (generation subdirectories of
+       hash-partitioned digest parquet, one per prior increment) and
+       broadcast the union of its digests;
+    2. stream the new batch, drop rows whose digest is already indexed
+       OR duplicated within the batch (keep smallest doc_id);
+    3. append the surviving digests as a NEW generation through the
+       resumable parquet sink, so the next increment sees them (append
+       = new generation; prior generations are immutable).
+
+    Returns the surviving (doc_id, text_md5) Dataset (materialized —
+    it is both the result and the next index generation). At 100-TB
+    scale the broadcast side switches to the Bloom path exactly like
+    ``stages/semijoin.py``; the exact set keeps results checkable here.
+    """
+    import os
+
+    import ray
+
+    from ..stages.parquet_sink import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text_md5": pa.array(keys)}
+        )
+
+    digested = ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+
+    gens = (
+        sorted(
+            d for d in os.listdir(index_dir)
+            if d.startswith("gen-") and os.path.isdir(os.path.join(index_dir, d))
+        )
+        if os.path.isdir(index_dir)
+        else []
+    )
+    seen: set[str] = set()
+    for g in gens:
+        seen.update(
+            read_partitioned_parquet(
+                os.path.join(index_dir, g), num_partitions
+            ).unique("text_md5")
+        )
+    seen_ref = ray.put(seen)
+
+    def drop_seen(batch: pa.Table) -> pa.Table:
+        known = ray.get(seen_ref)
+        mask = [k not in known for k in batch.column("text_md5").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    survivors = (
+        digested.map_batches(drop_seen, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id", "text_md5"])
+        .materialize()  # consumed twice: index append + returned result
+    )
+    if survivors.count() > 0:
+        gen_dir = os.path.join(index_dir, f"gen-{len(gens):05d}")
+        write_partitioned_parquet(
+            survivors.select_columns(["text_md5"]),
+            gen_dir,
+            "text_md5",
+            num_partitions=num_partitions,
+        )
+    return survivors

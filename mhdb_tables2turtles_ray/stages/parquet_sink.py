@@ -82,9 +82,30 @@ def write_partitioned_parquet(
     if empty:
         import pyarrow.parquet as pq
 
-        schema = ds.schema().base_schema
+        from ..state.manifest import data_path
+
+        if written:
+            # derive the shard schema from a part this run just wrote
+            # (ds.schema() can be None after aggregates)
+            schema = pq.read_schema(
+                data_path(out_dir, next(iter(written)), _EXT)
+            )
+        else:
+            ds_schema = ds.schema()
+            if ds_schema is None:
+                raise ValueError(
+                    "dataset produced no rows and its schema is unknown — "
+                    "cannot write empty partitions"
+                )
+            schema = pa.schema(
+                [f for f in ds_schema.base_schema if f.name != _PID]
+            )
         empty_table = pa.table(
-            {f.name: pa.array([], f.type) for f in schema if f.name != _PID}
+            {
+                name: pa.array([], type_)
+                for name, type_ in zip(schema.names, schema.types)
+                if name != _PID
+            }
         )
         for pid in empty:
             tmp = os.path.join(out_dir, f".tmp-part-{pid:05d}.{os.getpid()}")

@@ -93,3 +93,44 @@ def test_dedup_keep_best_partition(ray_session):
     expected_dropped = {n for n, r in roots.items() if r != n}
     assert survivors == all_ids - expected_dropped
     assert {r for r in roots.values()} <= survivors  # every cluster's min kept
+
+
+def test_incremental_exact_dedup(ray_session, tmp_path):
+    """Increment 1 builds the index; an identical increment 2 yields
+    ZERO survivors; a half-new increment keeps only the new docs; the
+    index accumulates across increments."""
+    import pyarrow as pa
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.dedup import incremental_exact_dedup
+
+    idx = str(tmp_path / "fp_index")
+
+    def docs(items):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in items], pa.int64()),
+                    "text": pa.array([t for _, t in items], pa.string()),
+                }
+            )
+        )
+
+    batch1 = docs([(1, "alpha"), (2, "beta"), (3, "alpha")])  # 3 dups to 2
+    s1 = {r["doc_id"] for r in incremental_exact_dedup(None, idx, ds=batch1).take_all()}
+    assert s1 == {1, 2}  # in-batch dup of 'alpha' keeps min id
+
+    # identical content arrives again -> everything already indexed
+    batch2 = docs([(10, "alpha"), (11, "beta")])
+    s2 = {r["doc_id"] for r in incremental_exact_dedup(None, idx, ds=batch2).take_all()}
+    assert s2 == set()
+
+    # half-new increment
+    batch3 = docs([(20, "beta"), (21, "gamma")])
+    s3 = {r["doc_id"] for r in incremental_exact_dedup(None, idx, ds=batch3).take_all()}
+    assert s3 == {21}
+
+    # and gamma is now indexed too
+    batch4 = docs([(30, "gamma")])
+    s4 = {r["doc_id"] for r in incremental_exact_dedup(None, idx, ds=batch4).take_all()}
+    assert s4 == set()
