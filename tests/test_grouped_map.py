@@ -1,0 +1,79 @@
+"""Direct tests for the coarse-bucketed grouped map (stages/grouped.py):
+the at-scale groupby(key).map_groups substitute used by asof,
+sessionize, enumerate, flag_sourced, sliding-window and sampling."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _run(items, key, fn, num_buckets):
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.grouped import grouped_map
+
+    ds = ray.data.from_items(items).repartition(3)
+    return grouped_map(ds, key, fn, num_buckets=num_buckets).take_all()
+
+
+def test_group_integrity_int_and_string_keys(ray_session):
+    """fn must always see WHOLE groups — every row of a key in one call."""
+
+    def whole(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": [g["k"].iloc[0]], "n": [len(g)], "s": [int(g["v"].sum())]}
+        )
+
+    items = [{"k": i % 7, "v": i} for i in range(100)]
+    got = {r["k"]: (r["n"], r["s"]) for r in _run(items, "k", whole, 4)}
+    expect = pd.DataFrame(items).groupby("k")["v"].agg(["count", "sum"])
+    assert got == {
+        int(k): (int(row["count"]), int(row["sum"]))
+        for k, row in expect.iterrows()
+    }
+
+    items_s = [{"k": f"key-{i % 5}", "v": i} for i in range(60)]
+    got_s = {r["k"]: r["n"] for r in _run(items_s, "k", whole, 8)}
+    assert got_s == {f"key-{i}": 12 for i in range(5)}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([1, 2, 7, 256]),
+)
+def test_matches_pandas_groupby(ray_session, rows, num_buckets):
+    """grouped_map ≡ plain pandas groupby-apply for any data and any
+    bucket count (bucketing is a pure implementation detail)."""
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v", kind="mergesort").reset_index(drop=True)
+        g["r"] = range(len(g))
+        return g
+
+    items = [{"k": k, "v": v} for k, v in rows]
+    got = {(r["k"], r["v"], r["r"]) for r in _run(items, "k", rank, num_buckets)}
+    df = pd.DataFrame(items)
+    expect = set()
+    for _, g in df.groupby("k", sort=False):
+        g = g.sort_values("v", kind="mergesort").reset_index(drop=True)
+        for i, row in g.iterrows():
+            expect.add((row["k"], row["v"], i))
+    assert got == expect
+
+
+def test_single_bucket_degenerates_gracefully(ray_session):
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "n": [len(g)]})
+
+    got = {r["k"]: r["n"] for r in _run(
+        [{"k": i % 3, "v": i} for i in range(30)], "k", count, 1
+    )}
+    assert got == {0: 10, 1: 10, 2: 10}
