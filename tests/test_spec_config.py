@@ -103,3 +103,67 @@ def test_kg_triples_raw_with_config_specs_identical(ray_session, tmp_path):
         kg_triples_raw(corpus_from_documents(sf), specs=load_specs(path))
     )
     assert configured == default and len(default) > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mhdb_tables2turtles_ray.stages.emit import EmissionSpec, ForeignKey, Literal
+
+_IDENT = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+)
+_CASING = st.sampled_from(["PascalCase", "camelCase", "delimited"])
+_KIND = st.sampled_from(["lang", "iri", "raw", "xsd:string", "curie:ICD9CM"])
+
+
+@st.composite
+def _specs(draw):
+    n_lits = draw(st.integers(0, 3))
+    n_fks = draw(st.integers(0, 2))
+    n_statics = draw(st.integers(0, 2))
+    return EmissionSpec(
+        name=draw(_IDENT),
+        subject_template="{" + draw(_IDENT) + "}",
+        subject_casing=draw(_CASING),
+        subject_truncate=draw(st.one_of(st.none(), st.integers(1, 100))),
+        rdf_type=draw(st.one_of(st.none(), st.just(":Thing"))),
+        label_template=draw(st.one_of(st.none(), st.just("{name}"))),
+        statics=tuple(
+            (":p" + str(i), ":o" + str(i)) for i in range(n_statics)
+        ),
+        literals=tuple(
+            Literal(
+                column=draw(_IDENT),
+                predicate=":lit" + str(i),
+                kind=draw(_KIND),
+                lang=draw(st.sampled_from(["en", "fr"])),
+                casing=draw(_CASING),
+                truncate=draw(st.one_of(st.none(), st.integers(1, 50))),
+                split=draw(st.one_of(st.none(), st.just(","))),
+                template=draw(st.one_of(st.none(), st.just("{a} {b}"))),
+            )
+            for i in range(n_lits)
+        ),
+        fks=tuple(
+            ForeignKey(
+                column=draw(_IDENT),
+                predicate=":fk" + str(i),
+                lookup=draw(_IDENT),
+                casing=draw(_CASING),
+                as_literal=draw(st.one_of(st.none(), st.just("xsd:string"))),
+                default=draw(st.one_of(st.none(), st.just(":Default"))),
+            )
+            for i in range(n_fks)
+        ),
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_specs(), min_size=1, max_size=4, unique_by=lambda s: s.name))
+def test_arbitrary_specs_round_trip(specs):
+    """Any spec expressible in the dataclasses survives rows → table →
+    parquet → rows byte-identically."""
+    specs = tuple(specs)
+    assert specs_from_rows(specs_to_rows(specs)) == specs
+    assert specs_from_table(specs_to_table(specs)) == specs
