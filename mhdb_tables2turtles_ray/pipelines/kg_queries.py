@@ -181,8 +181,6 @@ def crosswalk_link(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         relns = [
             _EVENT_RELN.get(t, "UNKNOWNTYPE")
             for t in batch.column("event_type").to_pylist()

@@ -13,8 +13,6 @@ approximation explicitly)."""
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 

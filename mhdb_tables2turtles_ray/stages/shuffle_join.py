@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 _BUCKET = "__join_bucket"
 _SIDE = "__join_side"
