@@ -738,3 +738,199 @@ def incremental_exact_dedup(
             num_partitions=num_partitions,
         )
     return survivors
+
+
+def incremental_minhash_dedup(
+    sf_dir: str | None,
+    index_dir: str,
+    ds: ray.data.Dataset | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int = 32,
+    bloom_capacity: int = 4_000_000,
+) -> ray.data.Dataset:
+    """NEAR-dup filtering of an arriving batch against a persisted
+    signature index — the incremental counterpart of
+    :func:`minhash_lsh_pairs` (its batch mode dedups within one corpus;
+    this dedups a new increment against everything already ingested).
+
+    Index layout per generation (immutable, append-only):
+      - exploded (band, band_hash, doc_id, sig) rows, hash-partitioned
+        parquet KEYED ON band_hash (``stages/parquet_sink.py``) — so a
+        candidate band hash maps to exactly one partition file;
+      - a fixed-size Bloom sidecar (``.bloom``, ~10 MB at the default
+        capacity) over the generation's band hashes. ``bloom_capacity``
+        must stay CONSTANT for the lifetime of one index (sidecars are
+        OR-merged, which requires equal bit arrays).
+
+    Query path (the at-scale shape):
+      1. OR the generations' Bloom sidecars (fixed bytes per gen —
+         reading them never scales with index size);
+      2. new docs' band hashes probe the merged Bloom; docs with zero
+         hits are CLEAN without touching the index (the common case);
+      3. for candidate band hashes only, read the matching index
+         partitions (pruned by the sink's key-locality), join on
+         band_hash, verify est-Jaccard against the carried signatures;
+      4. survivors (not near-dup of any indexed doc) append their band
+         rows as a new generation + Bloom sidecar.
+
+    Returns the surviving (doc_id) Dataset. In-batch near-dups are NOT
+    collapsed here — run :func:`minhash_lsh_pairs` on the increment
+    first if the batch itself may contain near-dups.
+    """
+    import os
+
+    import ray
+
+    from ..stages.parquet_sink import write_partitioned_parquet
+    from ..stages.semijoin import BloomFilter
+
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    hasher_kwargs = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "mode": "bands",
+    }
+    new_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=hasher_kwargs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=(1, 8),
+    ).materialize()  # consumed up to 3×: probe, verify, index append
+
+    gens = (
+        sorted(
+            d for d in os.listdir(index_dir)
+            if d.startswith("gen-") and os.path.isdir(os.path.join(index_dir, d))
+        )
+        if os.path.isdir(index_dir)
+        else []
+    )
+
+    dup_ids: set[int] = set()
+    if gens:
+        merged = BloomFilter(capacity=bloom_capacity, fpp=1e-4)
+        for g in gens:
+            bits = np.fromfile(
+                os.path.join(index_dir, g + ".bloom"), dtype=np.uint64
+            )
+            merged.bits |= bits
+        bloom_ref = ray.put(merged)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            bf = ray.get(bloom_ref)
+            hit = bf.contains(batch.column("band_hash").to_numpy())
+            return batch.filter(pa.array(hit))
+
+        cand = new_rows.map_batches(
+            probe, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        if cand.count() > 0:
+            cand_hashes = np.fromiter(
+                cand.unique("band_hash"), dtype=np.uint64
+            )
+            # partition pruning: candidate band hashes → their partitions
+            pids = set(
+                (pd.util.hash_array(cand_hashes) % np.uint64(num_partitions))
+                .astype(np.int64)
+                .tolist()
+            )
+            from ..state.manifest import data_path
+
+            paths = [
+                data_path(os.path.join(index_dir, g), p, ".parquet")
+                for g in gens
+                for p in sorted(pids)
+                if os.path.exists(
+                    data_path(os.path.join(index_dir, g), p, ".parquet")
+                )
+            ]
+            idx_rows = ray.data.read_parquet(paths).map_batches(
+                lambda t: t.filter(
+                    pc.is_in(
+                        t.column("band_hash"),
+                        pa.array(cand_hashes, pa.uint64()),
+                    )
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).take_all()
+            if idx_rows:
+                # verify: any (new, indexed) pair sharing a band whose
+                # signature-estimated Jaccard ≥ threshold marks new as dup
+                by_hash: dict[int, list] = {}
+                for r in idx_rows:
+                    by_hash.setdefault(int(r["band_hash"]), []).append(
+                        np.asarray(r["sig"], dtype=np.uint64)
+                    )
+                by_hash_ref = ray.put(by_hash)
+
+                def verify(batch: pa.Table) -> pa.Table:
+                    idx = ray.get(by_hash_ref)
+                    out = []
+                    ids = batch.column("doc_id").to_pylist()
+                    bhs = batch.column("band_hash").to_pylist()
+                    sigs = batch.column("sig").to_pylist()
+                    for doc_id, bh, sig in zip(ids, bhs, sigs):
+                        olds = idx.get(int(bh))
+                        if not olds:
+                            continue
+                        s = np.asarray(sig, dtype=np.uint64)
+                        for old in olds:
+                            if (s == old).mean() >= threshold:
+                                out.append(doc_id)
+                                break
+                    return pa.table({"doc_id": pa.array(sorted(set(out)), pa.int64())})
+
+                dup_ids = set(
+                    cand.map_batches(
+                        verify, batch_format="pyarrow", zero_copy_batch=True
+                    ).unique("doc_id")
+                )
+
+    dup_ref = ray.put(np.fromiter(dup_ids, dtype=np.int64))
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        drop = ray.get(dup_ref)
+        mask = ~np.isin(batch.column("doc_id").to_numpy(), drop)
+        return batch.filter(pa.array(mask))
+
+    survivors_rows = new_rows.map_batches(
+        keep_new, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    if survivors_rows.count() > 0:
+        gen_name = f"gen-{len(gens):05d}"
+        gen_dir = os.path.join(index_dir, gen_name)
+        write_partitioned_parquet(
+            survivors_rows, gen_dir, "band_hash", num_partitions=num_partitions
+        )
+        bf = BloomFilter(capacity=bloom_capacity, fpp=1e-4)
+        for b in survivors_rows.iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            bf.add(b.column("band_hash").to_numpy())
+        tmp = os.path.join(index_dir, gen_name + f".bloom.tmp.{os.getpid()}")
+        bf.bits.tofile(tmp)
+        os.rename(tmp, os.path.join(index_dir, gen_name + ".bloom"))
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["doc_id"]).group_by(["doc_id"]).aggregate([])
+        )
+
+    return (
+        survivors_rows.map_batches(
+            ids_only, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("doc_id")
+        .aggregate(Min("doc_id", alias_name="__d"))
+        .select_columns(["doc_id"])
+    )

@@ -134,3 +134,62 @@ def test_incremental_exact_dedup(ray_session, tmp_path):
     batch4 = docs([(30, "gamma")])
     s4 = {r["doc_id"] for r in incremental_exact_dedup(None, idx, ds=batch4).take_all()}
     assert s4 == set()
+
+
+def test_incremental_minhash_dedup(ray_session, tmp_path):
+    """Near-dup filtering against the persisted signature index: exact
+    re-sends and near-identical variants of indexed docs are dropped;
+    genuinely new docs survive and extend the index."""
+    import pyarrow as pa
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.dedup import incremental_minhash_dedup
+
+    idx = str(tmp_path / "sig_index")
+    CAP = 10_000  # small sidecars for the test; constant per index
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")  # high-Jaccard variant
+    other = "completely different content about distributed shuffle execution plans"
+
+    def docs(items):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in items], pa.int64()),
+                    "text": pa.array([t for _, t in items], pa.string()),
+                }
+            )
+        )
+
+    s1 = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            None, idx, ds=docs([(1, base), (2, other)]), bloom_capacity=CAP
+        ).take_all()
+    }
+    assert s1 == {1, 2}  # empty index: everything survives
+
+    # exact duplicate + near-duplicate + a new doc
+    brand_new = "unrelated text mentioning actor pools and zero copy arrow batches"
+    s2 = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            None,
+            idx,
+            ds=docs([(10, base), (11, near), (12, brand_new)]),
+            bloom_capacity=CAP,
+        ).take_all()
+    }
+    assert 10 not in s2  # exact re-send dropped
+    assert 11 not in s2  # near-dup dropped
+    assert 12 in s2      # new doc survives
+
+    # the new doc is now indexed too
+    s3 = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            None, idx, ds=docs([(20, brand_new)]), bloom_capacity=CAP
+        ).take_all()
+    }
+    assert s3 == set()
