@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": rel.sessionize,
         "rel_events_sliding": rel.events_sliding_window,
         "rel_events_sample": rel.events_sample_per_user,
+        "rel_topk_per_customer": rel.topk_orders_per_customer,
         "rel_value_median_by_type": rel.value_median_by_type,
         "rel_distinct_users_by_type": rel.distinct_users_by_type,
         "rel_orders_semi": rel.orders_semi_join,
@@ -466,6 +467,18 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING
                    ) AS last_purchase_event_id
             FROM events
+        """,
+        "rel_topk_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rank
+              FROM orders
+            ) WHERE rank <= 2
         """,
         "rel_value_median_by_type": """
             SELECT event_type, median(value) AS median_value

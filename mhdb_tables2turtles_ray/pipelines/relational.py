@@ -330,6 +330,27 @@ def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
     return orders_semi_join(sf_dir, anti=True)
 
 
+def topk_orders_per_customer(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Grouped top-k: each customer's k most expensive orders with their
+    in-group rank (deterministic tiebreak on orderkey). Rides the
+    coarse-bucketed grouped map — the shuffle moves one task per hash
+    bucket, and each fine group sorts only its own rows (never a global
+    sort)."""
+    from ..stages.grouped import grouped_map
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+
+    return grouped_map(ds, "o_custkey", topk)
+
+
 def value_median_by_type(sf_dir: str) -> ray.data.Dataset:
     """(event_type, median_value) — exact per-group median (the quantile
     family's oracle-checkable member; the sketch path for true scale is
