@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_sliding": rel.events_sliding_window,
         "rel_events_sample": rel.events_sample_per_user,
         "rel_topk_per_customer": rel.topk_orders_per_customer,
+        "rel_events_running_total": rel.events_running_total,
+        "rel_events_pivot": rel.events_pivot_by_type,
         "rel_value_median_by_type": rel.value_median_by_type,
         "rel_distinct_users_by_type": rel.distinct_users_by_type,
         "rel_orders_semi": rel.orders_semi_join,
@@ -467,6 +469,25 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING
                    ) AS last_purchase_event_id
             FROM events
+        """,
+        # fixed-point inside the window (sum of integer cents), rounded
+        # at the boundary — matching the engine's exact arithmetic
+        "rel_events_running_total": """
+            SELECT event_id, user_id,
+                   round(CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS DOUBLE) / 100.0, 2) AS running_value
+            FROM events
+        """,
+        "rel_events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
         """,
         "rel_topk_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice,

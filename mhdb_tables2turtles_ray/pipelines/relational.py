@@ -330,6 +330,60 @@ def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
     return orders_semi_join(sf_dir, anti=True)
 
 
+def events_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Prefix scan: each user's cumulative event value in (ts, event_id)
+    order. Computed as integer cents inside the group (exact,
+    order-independent across engines) and divided out at the boundary —
+    the same fixed-point discipline as the monetary aggregates."""
+    from ..stages.grouped import grouped_map
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        g["running_value"] = round_half_away(np.cumsum(cents) / 100.0, 2)
+        return g[["event_id", "user_id", "running_value"]]
+
+    return grouped_map(ds, "user_id", scan)
+
+
+def events_pivot_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Pivot: one row per user, one count column per event type (the
+    fixed public type set). Partial per-batch conditional counts →
+    small final sum — the wide-table shape without any per-type pass."""
+    from ray.data.aggregate import Sum
+
+    types = ("click", "view", "purchase", "signup", "error")
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        users = t.column("user_id")
+        et = t.column("event_type").to_pylist()
+        n = t.column("event_type_count").to_numpy()
+        cols = {"user_id": users}
+        for ty in types:
+            mask = np.array([e == ty for e in et])
+            cols[f"n_{ty}"] = pa.array(np.where(mask, n, 0).astype(np.int64))
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby("user_id").aggregate(
+        *[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch.column("user_id")}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(batch.column(f"n_{ty}"), pa.int64())
+        return pa.table(cols)
+
+    return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def topk_orders_per_customer(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     """Grouped top-k: each customer's k most expensive orders with their
     in-group rank (deterministic tiebreak on orderkey). Rides the
