@@ -39,6 +39,10 @@ def grouped_map(
     bucket holds ~|rows| / num_buckets rows, so raise ``num_buckets``
     for bigger datasets (it only changes task granularity, never
     results).
+
+    Rows with a NULL key are DROPPED (pandas ``groupby`` semantics) —
+    every current caller keys on a non-nullable column; filter or
+    fill nulls upstream if a nullable key ever needs grouping.
     """
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
