@@ -44,12 +44,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": sim.ann_ivf,  # rows-only (approximate by construction)
         "ann_ivf_kmeans": sim.ann_ivf_kmeans,  # rows-only (trained IVF, iterative)
         "ann_topk_quantized": sim.ann_topk_quantized,  # rows-only (int8 quantized)
+        "ann_kmeans_stats": sim.kmeans_cluster_stats,  # rows-only (iterative fit)
         # --- text analysis ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
         "text_lang_id": tx.lang_id,
         "text_fingerprint": tx.fingerprints,
         "text_winnow": tx.winnow_fingerprints,  # rows-only (rolling hash)
+        "text_lang_distribution": tx.lang_distribution,
         "text_pii_scrub": tx.pii_scrub,
         "text_top_tokens": tx.top_tokens,
         "text_length_histogram": tx.length_histogram,
@@ -302,6 +304,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "text_lang_distribution": f"""
+            SELECT CASE
+                     WHEN {hits_en} >= {hits_de} AND {hits_en} >= {hits_fr}
+                          AND {hits_en} > 0 THEN 'en'
+                     WHEN {hits_de} >= {hits_fr} AND {hits_de} > 0 THEN 'de'
+                     WHEN {hits_fr} > 0 THEN 'fr'
+                     ELSE 'unknown'
+                   END AS predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
         """,
         # PII patterns are RE2 on both engines (pyarrow + DuckDB), so
         # replacement semantics match exactly

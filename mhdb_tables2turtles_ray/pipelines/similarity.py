@@ -163,6 +163,56 @@ def ann_ivf_kmeans(
     )
 
 
+def kmeans_cluster_stats(
+    sf_dir: str, n_clusters: int = 8, iterations: int = 4
+) -> ray.data.Dataset:
+    """(cluster, n_vectors, inertia) — trained-IVF observability: per-
+    cluster population and summed squared distance to the centroid, the
+    numbers that tell you whether the coarse index is balanced. One
+    streamed pass after the fit; per-batch partials, tiny final sum."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.kmeans import kmeans_fit
+
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_fit(base, k=n_clusters, iterations=iterations)
+    cref = ray.put(centroids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = list_column_to_matrix(batch.column("embedding"))
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        best = d2[np.arange(len(x)), assign]
+        counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        inertia = np.bincount(assign, weights=best, minlength=len(c))
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                "n_vectors": pa.array(counts),
+                "inertia": pa.array(inertia, pa.float64()),
+            }
+        )
+
+    partials = base.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby("cluster").aggregate(
+        Sum("n_vectors", alias_name="n_vectors"),
+        Sum("inertia", alias_name="inertia"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster": batch.column("cluster"),
+                "n_vectors": pc.cast(batch.column("n_vectors"), pa.int64()),
+                "inertia": pc.round(batch.column("inertia"), ndigits=3),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
     """(vec_id, scale, qvec: list<int8>) — symmetric per-vector int8
     quantization (scale = max|x| / 127), the memory-side scale lever for

@@ -130,6 +130,34 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(predict, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def lang_distribution(sf_dir: str) -> ray.data.Dataset:
+    """(predicted_lang, n_docs) — corpus language mix from the lang_id
+    heuristic; the monitoring aggregate a filtering pipeline watches.
+    Partial per-batch counts → tiny final shuffle (≤ 4 rows/block)."""
+    from ray.data.aggregate import Sum
+
+    base = lang_id(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["predicted_lang"]).aggregate(
+            [("predicted_lang", "count")]
+        )
+
+    partials = base.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby("predicted_lang").aggregate(
+        Sum("predicted_lang_count", alias_name="n_docs")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("n_docs"),
+            "n_docs",
+            pc.cast(batch.column("n_docs"), pa.int64()),
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, fingerprint) — md5 of the whitespace-normalized,
     lowercased text (cross-engine-checkable canonical fingerprint)."""
