@@ -206,7 +206,11 @@ def kmeans_cluster_stats(
             {
                 "cluster": batch.column("cluster"),
                 "n_vectors": pc.cast(batch.column("n_vectors"), pa.int64()),
-                "inertia": pc.round(batch.column("inertia"), ndigits=3),
+                # repo-wide rule: float output boundaries round half-away
+                # (DuckDB semantics), never pc.round's half-even
+                "inertia": pa.array(
+                    round_half_away(batch.column("inertia").to_numpy(), 3)
+                ),
             }
         )
 
