@@ -653,11 +653,57 @@ def embedding_near_dup(
     return ds.map_batches(sims, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _index_meta(index_dir: str, expected: dict) -> dict:
+    """Load-or-create the index-level ``_index_meta.json``.
+
+    A persisted incremental index is only coherent if its structural
+    parameters (hash partition count, Bloom sidecar capacity, signature
+    shape) stay CONSTANT across every increment — a later call with a
+    different ``num_partitions`` would compute wrong partition ids and
+    the existence-filtered reads would silently skip "missing" files,
+    leaking indexed duplicates. First call for an index writes
+    ``expected`` (atomic tmp+rename); every later call validates each
+    expected key against the stored value and FAILS LOUDLY on mismatch.
+    """
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, "_index_meta.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        mismatch = {
+            k: (stored.get(k), v)
+            for k, v in expected.items()
+            if stored.get(k) != v
+        }
+        if mismatch:
+            detail = ", ".join(
+                f"{k}: stored={s!r} requested={r!r}"
+                for k, (s, r) in sorted(mismatch.items())
+            )
+            raise ValueError(
+                f"index at {index_dir} was created with different "
+                f"parameters ({detail}) — these are immutable for the "
+                f"lifetime of one index; pass the stored values "
+                f"(see {path})"
+            )
+        return stored
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(expected, f, indent=1, sort_keys=True)
+    os.rename(tmp, path)
+    return expected
+
+
 def incremental_exact_dedup(
     sf_dir: str | None,
     index_dir: str,
     ds: ray.data.Dataset | None = None,
     num_partitions: int = 16,
+    exact_threshold: int | None = 1_000_000,
+    fpp: float = 1e-9,
 ) -> ray.data.Dataset:
     """Exact dedup against a PERSISTED fingerprint index — the
     incremental-ingestion shape (daily crawl batches arriving against an
@@ -665,17 +711,31 @@ def incremental_exact_dedup(
 
     1. load the existing index (generation subdirectories of
        hash-partitioned digest parquet, one per prior increment) and
-       broadcast the union of its digests;
+       build the seen-digest filter;
     2. stream the new batch, drop rows whose digest is already indexed
        OR duplicated within the batch (keep smallest doc_id);
     3. append the surviving digests as a NEW generation through the
        resumable parquet sink, so the next increment sees them (append
        = new generation; prior generations are immutable).
 
+    The seen-set representation is size-thresholded exactly like
+    ``stages/semijoin.py``: at or under ``exact_threshold`` indexed
+    digests the filter is the exact distinct-digest array, probed
+    vectorized with ``pc.is_in``; above it a fixed-size Bloom filter
+    over 64-bit-hashed digests, built DISTRIBUTED (per-batch partial
+    filters OR-merged on the driver — the driver never holds the digest
+    set, per-increment cost stays flat as the index grows). The Bloom
+    path is approximate in the semi-join direction: a false positive
+    drops a genuinely-new document at the configured ``fpp`` (default
+    1e-9 ≈ one wrongly-dropped doc per 10^9 — the standard dedup-at-
+    scale trade). Pass ``exact_threshold=None`` to force exact.
+
+    Index-structural parameters are pinned in ``_index_meta.json`` at
+    creation; a later call with a different ``num_partitions`` fails
+    loudly instead of silently leaking duplicates.
+
     Returns the surviving (doc_id, text_md5) Dataset (materialized —
-    it is both the result and the next index generation). At 100-TB
-    scale the broadcast side switches to the Bloom path exactly like
-    ``stages/semijoin.py``; the exact set keeps results checkable here.
+    it is both the result and the next index generation).
     """
     import os
 
@@ -684,6 +744,11 @@ def incremental_exact_dedup(
     from ..stages.parquet_sink import (
         read_partitioned_parquet,
         write_partitioned_parquet,
+    )
+    from ..stages.semijoin import BloomFilter
+
+    _index_meta(
+        index_dir, {"kind": "exact_md5", "num_partitions": num_partitions}
     )
 
     if ds is None:
@@ -700,27 +765,53 @@ def incremental_exact_dedup(
 
     digested = ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
 
-    gens = (
-        sorted(
-            d for d in os.listdir(index_dir)
-            if d.startswith("gen-") and os.path.isdir(os.path.join(index_dir, d))
-        )
-        if os.path.isdir(index_dir)
-        else []
+    gens = sorted(
+        d for d in os.listdir(index_dir)
+        if d.startswith("gen-") and os.path.isdir(os.path.join(index_dir, d))
     )
-    seen: set[str] = set()
-    for g in gens:
-        seen.update(
-            read_partitioned_parquet(
-                os.path.join(index_dir, g), num_partitions
-            ).unique("text_md5")
-        )
-    seen_ref = ray.put(seen)
+    seen_filter = None
+    if gens:
+        idx_ds = None
+        for g in gens:
+            d = read_partitioned_parquet(os.path.join(index_dir, g), num_partitions)
+            idx_ds = d if idx_ds is None else idx_ds.union(d)
+        n = idx_ds.count()
+        if exact_threshold is None or n <= exact_threshold:
+            # exact path: distinct digests as one Arrow string array,
+            # broadcast once, probed with a vectorized pc.is_in
+            seen_filter = pa.array(
+                sorted(idx_ds.unique("text_md5")), pa.string()
+            )
+        else:
+            # Bloom path: per-batch partial filters over 64-bit digest
+            # hashes, OR-merged fixed-size rows — keys never collect
+            def bloom_partial(batch: pa.Table) -> pa.Table:
+                bf = BloomFilter(capacity=n, fpp=fpp)
+                bf.add(
+                    pd.util.hash_array(
+                        np.asarray(batch.column("text_md5").to_pylist(), dtype=object)
+                    )
+                )
+                return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+            merged = BloomFilter(capacity=n, fpp=fpp)
+            for row in idx_ds.map_batches(
+                bloom_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all():
+                merged.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+            seen_filter = merged
+    seen_ref = ray.put(seen_filter)
 
     def drop_seen(batch: pa.Table) -> pa.Table:
-        known = ray.get(seen_ref)
-        mask = [k not in known for k in batch.column("text_md5").to_pylist()]
-        return batch.filter(pa.array(mask))
+        f = ray.get(seen_ref)
+        if f is None:
+            return batch
+        if isinstance(f, BloomFilter):
+            keys = pd.util.hash_array(
+                np.asarray(batch.column("text_md5").to_pylist(), dtype=object)
+            )
+            return batch.filter(pa.array(~f.contains(keys)))
+        return batch.filter(pc.invert(pc.is_in(batch.column("text_md5"), f)))
 
     survivors = (
         digested.map_batches(drop_seen, batch_format="pyarrow", zero_copy_batch=True)
@@ -786,6 +877,21 @@ def incremental_minhash_dedup(
 
     from ..stages.parquet_sink import write_partitioned_parquet
     from ..stages.semijoin import BloomFilter
+
+    # structural params are immutable per index (partition ids, Bloom
+    # bit-array width and signature comparability all depend on them) —
+    # pinned at creation, later calls fail loudly on mismatch
+    _index_meta(
+        index_dir,
+        {
+            "kind": "minhash_bands",
+            "num_partitions": num_partitions,
+            "bloom_capacity": bloom_capacity,
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_k": shingle_k,
+        },
+    )
 
     if ds is None:
         ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -864,30 +970,46 @@ def incremental_minhash_dedup(
             ).take_all()
             if idx_rows:
                 # verify: any (new, indexed) pair sharing a band whose
-                # signature-estimated Jaccard ≥ threshold marks new as dup
-                by_hash: dict[int, list] = {}
-                for r in idx_rows:
-                    by_hash.setdefault(int(r["band_hash"]), []).append(
-                        np.asarray(r["sig"], dtype=np.uint64)
-                    )
-                by_hash_ref = ray.put(by_hash)
+                # signature-estimated Jaccard ≥ threshold marks new as
+                # dup. Fully vectorized: index rows sorted by band_hash
+                # once, each batch expands its ragged per-row match
+                # ranges (searchsorted left/right) into one flat stacked
+                # signature compare — no per-row Python.
+                from ..functions.numeric import list_column_to_matrix
+
+                ih = np.array(
+                    [r["band_hash"] for r in idx_rows], dtype=np.uint64
+                )
+                order = np.argsort(ih, kind="stable")
+                ih = ih[order]
+                imat = np.stack(
+                    [np.asarray(idx_rows[i]["sig"], dtype=np.uint64) for i in order]
+                )
+                idx_ref = ray.put((ih, imat))
 
                 def verify(batch: pa.Table) -> pa.Table:
-                    idx = ray.get(by_hash_ref)
-                    out = []
-                    ids = batch.column("doc_id").to_pylist()
-                    bhs = batch.column("band_hash").to_pylist()
-                    sigs = batch.column("sig").to_pylist()
-                    for doc_id, bh, sig in zip(ids, bhs, sigs):
-                        olds = idx.get(int(bh))
-                        if not olds:
-                            continue
-                        s = np.asarray(sig, dtype=np.uint64)
-                        for old in olds:
-                            if (s == old).mean() >= threshold:
-                                out.append(doc_id)
-                                break
-                    return pa.table({"doc_id": pa.array(sorted(set(out)), pa.int64())})
+                    ih_s, imat_s = ray.get(idx_ref)
+                    ids = batch.column("doc_id").to_numpy()
+                    bhs = batch.column("band_hash").to_numpy()
+                    smat = list_column_to_matrix(
+                        batch.column("sig"), dtype=np.uint64
+                    )
+                    lo = np.searchsorted(ih_s, bhs, side="left")
+                    hi = np.searchsorted(ih_s, bhs, side="right")
+                    rep = hi - lo
+                    total = int(rep.sum())
+                    if total == 0:
+                        return pa.table({"doc_id": pa.array([], pa.int64())})
+                    row = np.repeat(np.arange(len(ids)), rep)
+                    start = np.cumsum(rep) - rep
+                    pos = (
+                        np.repeat(lo, rep)
+                        + np.arange(total)
+                        - np.repeat(start, rep)
+                    )
+                    eq = (smat[row] == imat_s[pos]).mean(axis=1)
+                    dup = np.unique(ids[row[eq >= threshold]])
+                    return pa.table({"doc_id": pa.array(dup, pa.int64())})
 
                 dup_ids = set(
                     cand.map_batches(

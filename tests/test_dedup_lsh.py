@@ -193,3 +193,85 @@ def test_incremental_minhash_dedup(ray_session, tmp_path):
         ).take_all()
     }
     assert s3 == set()
+
+
+def _docs(items):
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in items], pa.int64()),
+                "text": pa.array([t for _, t in items], pa.string()),
+            }
+        )
+    )
+
+
+def test_incremental_exact_dedup_bloom_threshold(ray_session, tmp_path):
+    """Above the exact_threshold the seen-set switches to the distributed
+    Bloom path (mirroring stages/semijoin.py) — results identical to the
+    exact path at the test scale (fpp=1e-9, no expected false drops)."""
+    from mhdb_tables2turtles_ray.pipelines.dedup import incremental_exact_dedup
+
+    idx = str(tmp_path / "fp_bloom")
+    s1 = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            None, idx, ds=_docs([(1, "alpha"), (2, "beta")]), exact_threshold=1
+        ).take_all()
+    }
+    assert s1 == {1, 2}
+    # index holds 2 digests > threshold=1 → Bloom path on this call
+    s2 = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            None,
+            idx,
+            ds=_docs([(10, "alpha"), (11, "gamma")]),
+            exact_threshold=1,
+        ).take_all()
+    }
+    assert s2 == {11}  # indexed dup dropped through the Bloom probe
+    s3 = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            None, idx, ds=_docs([(20, "gamma")]), exact_threshold=1
+        ).take_all()
+    }
+    assert s3 == set()
+
+
+def test_index_meta_pins_structural_params(ray_session, tmp_path):
+    """Index-structural parameters are immutable per index: a later call
+    with a different num_partitions / bloom_capacity fails loudly instead
+    of silently skipping 'missing' partition files."""
+    import pytest
+
+    from mhdb_tables2turtles_ray.pipelines.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+    )
+
+    idx = str(tmp_path / "fp_meta")
+    incremental_exact_dedup(None, idx, ds=_docs([(1, "alpha")]), num_partitions=4)
+    with pytest.raises(ValueError, match="num_partitions"):
+        incremental_exact_dedup(None, idx, ds=_docs([(2, "beta")]), num_partitions=8)
+
+    sig_idx = str(tmp_path / "sig_meta")
+    incremental_minhash_dedup(
+        None, sig_idx, ds=_docs([(1, "a b c d e f g")]), bloom_capacity=10_000
+    )
+    with pytest.raises(ValueError, match="bloom_capacity"):
+        incremental_minhash_dedup(
+            None, sig_idx, ds=_docs([(2, "h i j k l m n")]), bloom_capacity=20_000
+        )
+    with pytest.raises(ValueError, match="num_perm"):
+        incremental_minhash_dedup(
+            None,
+            sig_idx,
+            ds=_docs([(3, "o p q r s t u")]),
+            bloom_capacity=10_000,
+            num_perm=32,
+        )
