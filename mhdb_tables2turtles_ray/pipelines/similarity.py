@@ -92,56 +92,35 @@ def ann_topk(sf_dir: str, k: int = 5, num_queries: int = 8) -> ray.data.Dataset:
     )
 
 
-def ann_ivf_kmeans(
-    sf_dir: str, k: int = 5, num_queries: int = 8, n_clusters: int = 8, nprobe: int = 2
-) -> ray.data.Dataset:
-    """IVF with TRAINED coarse centroids (distributed Lloyd k-means,
-    stages/kmeans.py) instead of the given ``label`` partitions: fit →
-    assign clusters (streamed) → probe the ``nprobe`` nearest clusters
-    per query → partial/final top-k within the probed subset."""
-    from ..stages.kmeans import kmeans_assign, kmeans_fit
-
-    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    centroids = kmeans_fit(base, k=n_clusters, iterations=4)
+def _probe_mask(qmat: np.ndarray, centroids: np.ndarray, nprobe: int) -> np.ndarray:
+    """(n_query, n_clusters) bool — which clusters each query probes
+    (its ``nprobe`` nearest centroids by cosine)."""
     cnorm = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
-
-    qids, qmat = _query_block(sf_dir, num_queries)
     sims_qc = qmat @ cnorm.T
-    probe: dict[int, set[int]] = {}
-    for qi in range(len(qids)):
-        for t in np.argsort(-sims_qc[qi])[:nprobe]:
-            probe.setdefault(int(t), set()).add(qi)
+    mask = np.zeros(sims_qc.shape, dtype=bool)
+    for qi in range(len(qmat)):
+        mask[qi, np.argsort(-sims_qc[qi])[:nprobe]] = True
+    return mask
 
-    assigned = kmeans_assign(
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), centroids
-    )
-    import pyarrow.compute as pc
 
-    probed = assigned.map_batches(
-        lambda t: t.filter(
-            pc.is_in(t.column("cluster"), pa.array(sorted(probe), pa.int64()))
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    qref = ray.put((qids, qmat, probe))
+def _probed_partial_fn(qref, k: int):
+    """Partial top-k over batches carrying a ``cluster`` column; each
+    query only scores rows of clusters it probes (vectorized mask
+    lookup, no per-row Python membership test). ``qref`` → (qids, qmat,
+    probe_mask)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        ids_q, mat_q, probe_map = ray.get(qref)
+        ids_q, mat_q, probe_mask = ray.get(qref)
         vids = batch.column("vec_id").to_numpy()
-        clusters = batch.column("cluster").to_numpy()
+        clusters = batch.column("cluster").to_numpy().astype(np.int64)
         emb = list_column_to_matrix(batch.column("embedding"))
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         cos = mat_q @ emb.T
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids_q)):
-            allowed = np.array(
-                [qi in probe_map.get(int(cl), ()) for cl in clusters]
-            )
-            allowed &= vids != ids_q[qi]
+            allowed = probe_mask[qi, clusters] & (vids != ids_q[qi])
             cand = np.nonzero(allowed)[0]
             if len(cand) == 0:
                 continue
@@ -157,7 +136,125 @@ def ann_ivf_kmeans(
             }
         )
 
-    partials = probed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partial
+
+
+def ann_ivf_kmeans(
+    sf_dir: str, k: int = 5, num_queries: int = 8, n_clusters: int = 8, nprobe: int = 2
+) -> ray.data.Dataset:
+    """IVF with TRAINED coarse centroids (distributed Lloyd k-means,
+    stages/kmeans.py) instead of the given ``label`` partitions: fit →
+    assign clusters (streamed) → probe the ``nprobe`` nearest clusters
+    per query → partial/final top-k within the probed subset. Pruning
+    here is COMPUTE-side (the whole table is read, unprobed clusters
+    filtered); :func:`ann_ivf_partitioned` is the I/O-pruned variant
+    over cluster-partitioned storage."""
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_fit(base, k=n_clusters, iterations=4)
+    qids, qmat = _query_block(sf_dir, num_queries)
+    mask = _probe_mask(qmat, centroids, nprobe)
+
+    assigned = kmeans_assign(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), centroids
+    )
+    import pyarrow.compute as pc
+
+    probed_clusters = pa.array(np.nonzero(mask.any(axis=0))[0], pa.int64())
+    probed = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("cluster"), probed_clusters)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    qref = ray.put((qids, qmat, mask))
+    partials = probed.map_batches(
+        _probed_partial_fn(qref, k), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
+def build_ivf_index(
+    sf_dir: str, index_dir: str, n_clusters: int = 8, iterations: int = 4
+) -> np.ndarray:
+    """Build cluster-partitioned ANN storage: fit trained coarse
+    centroids, then write the embedding table through the resumable
+    parquet sink with IDENTITY partitioning on the cluster id — so
+    partition file ``i`` holds exactly cluster ``i``'s vectors and a
+    probe can read ONLY its ``nprobe`` clusters' files. This is what
+    makes IVF pay at 100 TB: ``nprobe/n_clusters`` of the bytes ever
+    leave storage, instead of filtering rows after a full read.
+    Centroids persist alongside (atomic write); structural params are
+    pinned in ``_index_meta.json`` (see pipelines/dedup.py). Returns
+    the (k, dim) centroid matrix."""
+    import os
+
+    from .dedup import _index_meta
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+    from ..stages.parquet_sink import write_partitioned_parquet
+
+    _index_meta(
+        index_dir,
+        {"kind": "ivf_clustered", "n_clusters": n_clusters, "iterations": iterations},
+    )
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_fit(base, k=n_clusters, iterations=iterations)
+    assigned = kmeans_assign(base, centroids)
+    write_partitioned_parquet(
+        assigned, index_dir, "cluster", num_partitions=n_clusters, identity_key=True
+    )
+    tmp = os.path.join(index_dir, f".centroids.tmp.{os.getpid()}")
+    with open(tmp, "wb") as f:
+        np.save(f, centroids)
+    os.replace(tmp, os.path.join(index_dir, "centroids.npy"))
+    return centroids
+
+
+def ann_ivf_partitioned(
+    sf_dir: str,
+    k: int = 5,
+    num_queries: int = 8,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    index_dir: str | None = None,
+    iterations: int = 4,
+) -> ray.data.Dataset:
+    """Trained IVF over CLUSTER-PARTITIONED storage: the probe reads
+    ONLY the probed clusters' partition files (``read_parquet`` on the
+    pruned path list — I/O pruning, not a post-read row filter), then
+    the same partial/final top-k as :func:`ann_ivf_kmeans`. With the
+    same fit parameters the result is IDENTICAL to
+    :func:`ann_ivf_kmeans` (same centroids, same probed rows) — pinned
+    by test. Builds the index on first use when ``index_dir`` has none
+    (resumable; finished partitions are skipped on rebuild)."""
+    import os
+    import tempfile
+
+    from ..state.manifest import completed_partitions, data_path
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    centroid_path = os.path.join(index_dir, "centroids.npy")
+    if not os.path.exists(centroid_path):
+        centroids = build_ivf_index(sf_dir, index_dir, n_clusters, iterations)
+    else:
+        centroids = np.load(centroid_path)
+
+    qids, qmat = _query_block(sf_dir, num_queries)
+    mask = _probe_mask(qmat, centroids, nprobe)
+    probed_clusters = sorted(np.nonzero(mask.any(axis=0))[0].tolist())
+    done = completed_partitions(index_dir, n_clusters, ext=".parquet")
+    paths = [
+        data_path(index_dir, c, ".parquet") for c in probed_clusters if c in done
+    ]
+
+    qref = ray.put((qids, qmat, mask))
+    partials = ray.data.read_parquet(paths).map_batches(
+        _probed_partial_fn(qref, k), batch_format="pyarrow", zero_copy_batch=True
+    )
     return partials.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas"
     )

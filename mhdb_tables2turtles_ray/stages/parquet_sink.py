@@ -29,12 +29,19 @@ def write_partitioned_parquet(
     key_col: str,
     num_partitions: int = 64,
     resume: bool = True,
+    identity_key: bool = False,
 ) -> dict:
     """Write ``ds`` as ``num_partitions`` hash-partitioned parquet files
     under ``out_dir`` with per-partition manifests; returns a summary
     {written, skipped, n_rows}. Rows of one key always land in one
     partition (hash partitioning), so per-key consumers can read a
-    single file."""
+    single file.
+
+    ``identity_key=True`` uses the key VALUE itself (mod
+    ``num_partitions``) as the partition id instead of its hash — for
+    integer keys that already ARE partition assignments (e.g. IVF
+    cluster ids), so partition file ``i`` holds exactly key ``i``'s rows
+    and a consumer can prune reads to specific keys' files."""
     os.makedirs(out_dir, exist_ok=True)
     done = (
         completed_partitions(out_dir, num_partitions, ext=_EXT) if resume else set()
@@ -46,9 +53,15 @@ def write_partitioned_parquet(
 
     def add_pid(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy(deep=False)
-        pid = (
-            pd.util.hash_array(df[key_col].to_numpy()) % np.uint64(num_partitions)
-        ).astype(np.int64)
+        if identity_key:
+            pid = (
+                df[key_col].to_numpy().astype(np.int64) % num_partitions
+            )
+        else:
+            pid = (
+                pd.util.hash_array(df[key_col].to_numpy())
+                % np.uint64(num_partitions)
+            ).astype(np.int64)
         df[_PID] = pid
         # resume filter BEFORE the shuffle: finished partitions never move
         return df[np.isin(pid, pending_arr)]

