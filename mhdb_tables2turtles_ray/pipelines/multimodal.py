@@ -140,11 +140,15 @@ def payload_meta(
 class MediaResizer:
     """Actor-pool resize stage (decode → bounded-box scale).
 
-    Real mode uses PIL ``thumbnail`` (aspect-preserving, bounded by
-    ``max_dim``) and reports the re-encoded byte size; fake mode scales
-    the deterministic fake dimensions with the same floor arithmetic
-    the SQL oracle reproduces. Output schema is identical either way:
-    (doc_id, width, height, resized_w, resized_h).
+    Real mode WITH PIL actually resizes: ``thumbnail`` (aspect-
+    preserving, bounded by ``max_dim``), PNG re-encode, and
+    ``resized_bytes`` = the re-encoded size. Real mode WITHOUT PIL
+    (header-probe-only container) computes the scaled dimensions
+    arithmetically — no pixel data is decoded, so ``resized_bytes`` is
+    null. Fake mode scales the deterministic fake dimensions with the
+    same floor arithmetic the SQL oracle reproduces (``resized_bytes``
+    null). Output schema is identical in every mode:
+    (doc_id, width, height, resized_w, resized_h, resized_bytes).
     """
 
     def __init__(self, max_dim: int = 64, mode: str = "fake"):
@@ -155,15 +159,31 @@ class MediaResizer:
         meta = self.decoder(batch)
         width = meta.column("width").to_pylist()
         height = meta.column("height").to_pylist()
-        rw, rh = [], []
-        for w, h in zip(width, height):
+        pil = self.decoder._pil if self.decoder.mode == "real" else None
+        payloads = batch.column("payload").to_pylist() if pil else None
+        rw, rh, rb = [], [], []
+        for i, (w, h) in enumerate(zip(width, height)):
             if w is None or h is None:
                 rw.append(None)
                 rh.append(None)
+                rb.append(None)
                 continue
+            if pil is not None:
+                try:
+                    with pil.open(io.BytesIO(payloads[i])) as img:
+                        img.thumbnail((self.max_dim, self.max_dim))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        rw.append(int(img.width))
+                        rh.append(int(img.height))
+                        rb.append(buf.getbuffer().nbytes)
+                        continue
+                except Exception:
+                    pass  # dims came from the header probe; no pixels
             scale = min(1.0, self.max_dim / max(w, h, 1))
             rw.append(int(w * scale))
             rh.append(int(h * scale))
+            rb.append(None)
         return pa.table(
             {
                 "doc_id": meta.column("doc_id"),
@@ -171,6 +191,7 @@ class MediaResizer:
                 "height": meta.column("height"),
                 "resized_w": pa.array(rw, pa.int64()),
                 "resized_h": pa.array(rh, pa.int64()),
+                "resized_bytes": pa.array(rb, pa.int64()),
             }
         )
 
@@ -179,7 +200,9 @@ def resize_meta(
     sf_dir: str, max_dim: int = 64, concurrency=(1, 4), batch_size: int = 1024
 ) -> ray.data.Dataset:
     """(doc_id, width, height, resized_w, resized_h) via the resizer
-    actor pool (fake decode mode — the oracle-checkable variant)."""
+    actor pool (fake decode mode — the oracle-checkable variant;
+    ``resized_bytes`` is always null in fake mode, so it is dropped
+    from the oracle surface)."""
     return binary_payloads(sf_dir).map_batches(
         MediaResizer,
         fn_constructor_kwargs={"max_dim": max_dim},
@@ -187,7 +210,7 @@ def resize_meta(
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
-    )
+    ).select_columns(["doc_id", "width", "height", "resized_w", "resized_h"])
 
 
 def frame_sample(sf_dir: str, chunk: int = 64, stride: int = 4) -> ray.data.Dataset:

@@ -310,40 +310,77 @@ def _kgram_hasher(k: int):
 
 
 def winnow_fingerprints(
-    sf_dir: str, k: int = 5, window: int = 4
+    sf_dir: str | None,
+    k: int = 5,
+    window: int = 4,
+    ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, n_grams, n_selected, min_hash, max_hash) — winnowing-style
     rolling-hash document fingerprint (Schleimer et al. 2003 scheme:
     k-gram rolling hashes, per-window minima). Deterministic polynomial
     rolling hash — no Python ``hash()``."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     doc_hashes = _kgram_hasher(k)
 
     def winnow(batch: pa.Table) -> pa.Table:
-        n_grams_c, n_sel_c, mins, maxs = [], [], [], []
-        for t in batch.column("text").to_pylist():
-            data = (t or "").encode("utf-8")
-            if len(data) < k:
-                n_grams_c.append(0)
-                n_sel_c.append(0)
-                mins.append(0)
-                maxs.append(0)
-                continue
-            hashes = doc_hashes(data)
-            n_windows = max(1, len(hashes) - window + 1)
-            win = np.lib.stride_tricks.sliding_window_view(
-                hashes, min(window, len(hashes))
-            )[:n_windows]
-            selected = np.unique(win.min(axis=1))
-            n_grams_c.append(len(hashes))
-            n_sel_c.append(len(selected))
-            mins.append(int(selected[0]))
-            maxs.append(int(selected[-1]))
+        # BATCHED outer loop: all docs concatenate into one buffer,
+        # hashed ONCE (k LUT adds over the whole buffer); per-doc gram
+        # ranges are slices of the global hash array, so k-grams and
+        # windows that would cross a document boundary are simply
+        # excluded by position masks — no per-doc Python in the common
+        # path.
+        datas = [(t or "").encode("utf-8") for t in batch.column("text").to_pylist()]
+        n_docs = len(datas)
+        lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=n_docs)
+        gram_counts = np.maximum(lens - k + 1, 0)
+        n_sel = np.zeros(n_docs, dtype=np.int64)
+        mins = np.zeros(n_docs, dtype=np.int64)
+        maxs = np.zeros(n_docs, dtype=np.int64)
+        buf = b"".join(datas)
+        if len(buf) >= k:
+            all_h = doc_hashes(buf)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            if len(all_h) >= window:
+                # one global sliding-window min; position p belongs to
+                # doc i iff starts[i] <= p <= starts[i]+grams[i]-window
+                allmins = np.lib.stride_tricks.sliding_window_view(
+                    all_h, window
+                ).min(axis=1)
+                p = np.arange(len(allmins))
+                doc = np.searchsorted(starts, p, side="right") - 1
+                valid = (p - starts[doc]) <= (gram_counts[doc] - window)
+                docv, minv = doc[valid], allmins[valid]
+                if len(docv):
+                    # per-doc distinct minima stats via one lexsort:
+                    # run starts/ends give min/max, run count gives
+                    # n_selected
+                    order = np.lexsort((minv, docv))
+                    d_s, v_s = docv[order], minv[order]
+                    new = np.ones(len(d_s), dtype=bool)
+                    new[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+                    n_sel += np.bincount(d_s[new], minlength=n_docs)
+                    first = np.ones(len(d_s), dtype=bool)
+                    first[1:] = d_s[1:] != d_s[:-1]
+                    last = np.ones(len(d_s), dtype=bool)
+                    last[:-1] = d_s[1:] != d_s[:-1]
+                    mins[d_s[first]] = v_s[first].astype(np.int64)
+                    maxs[d_s[last]] = v_s[last].astype(np.int64)
+            # short docs (0 < grams < window) take a single window over
+            # their whole gram slice — only docs under k+window-1 bytes
+            # ever land here, so the loop is effectively empty
+            for i in np.nonzero((gram_counts > 0) & (gram_counts < window))[0]:
+                s = starts[i]
+                m = int(all_h[s : s + gram_counts[i]].min())
+                n_sel[i] = 1
+                mins[i] = m
+                maxs[i] = m
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_grams": pa.array(n_grams_c, pa.int64()),
-                "n_selected": pa.array(n_sel_c, pa.int64()),
+                "n_grams": pa.array(gram_counts, pa.int64()),
+                "n_selected": pa.array(n_sel, pa.int64()),
                 "min_hash": pa.array(mins, pa.int64()),
                 "max_hash": pa.array(maxs, pa.int64()),
             }

@@ -135,7 +135,17 @@ def test_resizer_real_and_fake_modes():
     # 200x100 bounded by 64 -> scale 0.32 -> (64, 32)
     assert (rows[1]["resized_w"], rows[1]["resized_h"]) == (64, 32)
     assert rows[2]["resized_w"] is None and rows[2]["resized_h"] is None
+    # resized_bytes: an actual re-encoded size iff PIL did the resize;
+    # header-probe-only real mode decodes no pixels -> null
+    try:
+        import PIL  # noqa: F401
+
+        assert rows[1]["resized_bytes"] > 0
+    except ImportError:
+        assert rows[1]["resized_bytes"] is None
+    assert rows[2]["resized_bytes"] is None
 
     fake = MediaResizer(max_dim=64, mode="fake")(batch)
     for r in fake.to_pylist():
         assert r["resized_w"] <= 64 and r["resized_h"] <= 64
+        assert r["resized_bytes"] is None

@@ -52,6 +52,41 @@ def test_vectorized_matches_sequential(ray_session):
     assert checked == len(out) > 0
 
 
+def test_batched_winnow_edge_docs(ray_session):
+    """The batched path must match the sequential oracle on the doc
+    shapes the corpus doesn't cover: empty, shorter than k (no grams),
+    shorter than k+window-1 (single-window fallback), and boundary
+    adjacency (a short doc between two long ones must not absorb its
+    neighbors' k-grams through the concatenated buffer)."""
+    import pyarrow as pa
+    import ray.data
+
+    k, window = 5, 4
+    texts = [
+        "",                       # no bytes
+        "abc",                    # < k
+        "abcde",                  # exactly k: 1 gram, short-window path
+        "abcdefg",                # 3 grams < window
+        "the quick brown fox jumps over the lazy dog",  # long
+        "ab",                     # short again, wedged between longs
+        "pack my box with five dozen liquor jugs",      # long
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_selected"], r["min_hash"], r["max_hash"])
+        for r in winnow_fingerprints(None, k=k, window=window, ds=ds).take_all()
+    }
+    for i, t in enumerate(texts):
+        assert out[i] == _sequential(t.encode("utf-8"), k, window), (i, t)
+
+
 def test_hasher_adversarial_bytes():
     """The vectorized hasher equals the recurrence on edge-case byte
     strings: exactly k bytes, all-0xFF (max accumulation — overflow
