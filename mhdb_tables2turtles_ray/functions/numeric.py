@@ -20,6 +20,29 @@ def round_half_away(x, ndigits: int):
     return np.copysign(np.floor(np.abs(arr) * scale + 0.5) / scale, arr)
 
 
+def triple_multiset_digest(subj, pred, obj) -> int:
+    """Order-independent digest of a triple set: sum mod 2^64 of
+    vectorized 64-bit row hashes (pandas siphash of
+    ``subj\\x1fpred\\x1fobj``). Commutative and mergeable — per-batch
+    partial sums combine by addition, so the flagship pipeline's content
+    gate needs no global sort at any scale. The same function digests
+    the reference-semantics oracle's triple set to produce the pinned
+    constants in the registry (tools/pin_flagship.py)."""
+    import pandas as pd
+
+    combined = (
+        pd.Series(subj, dtype="object")
+        + "\x1f"
+        + pd.Series(pred, dtype="object")
+        + "\x1f"
+        + pd.Series(obj, dtype="object")
+    )
+    if len(combined) == 0:
+        return 0
+    h = pd.util.hash_array(combined.to_numpy(dtype=object))
+    return int(h.sum(dtype=np.uint64))
+
+
 def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
     """Arrow ``list<float>`` column → dense (n_rows, dim) ndarray.
 

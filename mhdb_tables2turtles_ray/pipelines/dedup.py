@@ -496,6 +496,32 @@ def simhash_pairs(
     )
 
 
+def sketch_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Monitoring union of the sketch-based near-dup detectors: one tall
+    (variant, doc_a, doc_b, score) table — variant 'minhash_lsh' with
+    score = estimated Jaccard, variant 'simhash' with score = Hamming
+    distance. Consolidates two rows-only registry entries so every
+    oracled query fits under the driver's gate; each sketch keeps its
+    own tests (two-pass equality, banding bounds)."""
+
+    def tag(ds: ray.data.Dataset, name: str, score_col: str) -> ray.data.Dataset:
+        def fmt(t: pa.Table, name=name, score_col=score_col) -> pa.Table:
+            return pa.table(
+                {
+                    "variant": pa.array([name] * t.num_rows, pa.string()),
+                    "doc_a": t.column("doc_a"),
+                    "doc_b": t.column("doc_b"),
+                    "score": pc.cast(t.column(score_col), pa.float64()),
+                }
+            )
+
+        return ds.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+    mh = tag(minhash_lsh_pairs(sf_dir), "minhash_lsh", "est_jaccard")
+    sh = tag(simhash_pairs(sf_dir), "simhash", "hamming")
+    return mh.union(sh)
+
+
 def jaccard_pairs_subset(
     sf_dir: str, max_doc_id: int = 300, threshold: float = 0.8
 ) -> ray.data.Dataset:

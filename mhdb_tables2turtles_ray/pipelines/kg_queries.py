@@ -99,6 +99,54 @@ def doc_sha256(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(sha, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def flagship_summary(sf_dir: str) -> ray.data.Dataset:
+    """(n_triples, content_hash) — the FLAGSHIP corpus pipeline under
+    the driver's value-hash gate. Runs the full engine (corpus
+    derivation, sha256 invariant, linker actor pool, EmissionSpec
+    emitter, TBox union, global dedup) and reduces the deduplicated
+    triple set to a streaming order-independent multiset digest:
+    per-batch (count, sum-of-row-hashes) partials merged by addition —
+    no sort, no driver materialization of triples, valid at any scale.
+
+    The oracle side is a CONSTANT pinned from the reference-semantics
+    oracle (tests/oracle_ref.py, which runs the reference checkout's
+    OWN scalar functions) at each testdata scale — regenerate with
+    ``python tools/pin_flagship.py``; the sf0.001 pin is re-derived
+    from that oracle inside the test suite on every run, so the
+    constant cannot drift from reference semantics unnoticed."""
+    from ..functions.numeric import triple_multiset_digest
+    from .kg import kg_from_documents
+
+    triples = kg_from_documents(sf_dir)
+
+    def digest_partial(batch: pa.Table) -> pa.Table:
+        h = triple_multiset_digest(
+            batch.column("subj").to_pylist(),
+            batch.column("pred").to_pylist(),
+            batch.column("obj").to_pylist(),
+        )
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "h": pa.array([h], pa.uint64()),
+            }
+        )
+
+    parts = triples.map_batches(
+        digest_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n = int(sum(r["n"] for r in parts))
+    h = sum(int(r["h"]) for r in parts) % (1 << 64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_triples": pa.array([n], pa.int64()),
+                "content_hash": pa.array([format(h, "016x")], pa.string()),
+            }
+        )
+    )
+
+
 def reified_doc_triples(sf_dir: str) -> ray.data.Dataset:
     """Reification operator over the document triples: every (s, p, o)
     becomes an rdf:Statement blank node with 4 triples."""

@@ -213,6 +213,62 @@ def resize_meta(
     ).select_columns(["doc_id", "width", "height", "resized_w", "resized_h"])
 
 
+def media_meta(
+    sf_dir: str,
+    max_dim: int = 64,
+    chunk: int = 64,
+    stride: int = 4,
+    concurrency=(1, 4),
+    batch_size: int = 1024,
+    mode: str = "fake",
+) -> ray.data.Dataset:
+    """The whole multimodal metadata surface from ONE decode pass:
+    (doc_id, n_bytes, sha256, width, height, n_frames, n_sampled,
+    resized_w, resized_h) — decode (actor pool), frame-stream sampling
+    arithmetic and bounded-box resize arithmetic appended vectorized to
+    the decoder's output instead of re-reading payloads per op. This is
+    the consolidated oracled registry entry; :func:`payload_meta` /
+    :func:`frame_sample` / :func:`resize_meta` remain the per-op library
+    surfaces."""
+    import numpy as np
+
+    base = payload_meta(
+        sf_dir, concurrency=concurrency, batch_size=batch_size, mode=mode
+    )
+
+    def extend(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_bytes").to_numpy()
+        n_frames = (n + chunk - 1) // chunk
+        n_sampled = (n_frames + stride - 1) // stride
+        # width/height may carry nulls in real mode (quarantined
+        # payloads) — compute through float NaN and mask back
+        wf = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
+        hf = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(1.0, max_dim / np.maximum(np.maximum(wf, hf), 1.0))
+        rw = np.floor(wf * scale)
+        rh = np.floor(hf * scale)
+        mask = np.isnan(rw)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bytes": batch.column("n_bytes"),
+                "sha256": batch.column("sha256"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "n_sampled": pa.array(n_sampled, pa.int64()),
+                "resized_w": pa.array(
+                    np.where(mask, 0, rw).astype(np.int64), pa.int64(), mask=mask
+                ),
+                "resized_h": pa.array(
+                    np.where(mask, 0, rh).astype(np.int64), pa.int64(), mask=mask
+                ),
+            }
+        )
+
+    return base.map_batches(extend, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def frame_sample(sf_dir: str, chunk: int = 64, stride: int = 4) -> ray.data.Dataset:
     """Treat each payload as a frame stream: ``chunk``-byte frames,
     every ``stride``-th sampled. (doc_id, n_frames, n_sampled)."""

@@ -383,6 +383,34 @@ def ann_topk_quantized(
     )
 
 
+def ann_variants(sf_dir: str, k: int = 5, num_queries: int = 8) -> ray.data.Dataset:
+    """Monitoring union of every APPROXIMATE ANN path (the exact path,
+    :func:`ann_topk`, has its own SQL-oracled registry row): one tall
+    table tagged by ``variant`` — 'ivf' (label partitions),
+    'ivf_kmeans' (trained, compute-pruned), 'ivf_partitioned' (trained,
+    I/O-pruned storage), 'quantized' (int8). Consolidates what were
+    four separate rows-only registry entries so every oracled query
+    fits under the driver's correctness gate; each variant's semantics
+    stay pinned by its own tests (recall bounds, variant equality)."""
+
+    def tag(ds: ray.data.Dataset, name: str) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda t, name=name: t.append_column(
+                "variant", pa.array([name] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    out = tag(ann_ivf(sf_dir, k, num_queries), "ivf")
+    out = out.union(tag(ann_ivf_kmeans(sf_dir, k, num_queries), "ivf_kmeans"))
+    out = out.union(
+        tag(ann_ivf_partitioned(sf_dir, k, num_queries), "ivf_partitioned")
+    )
+    out = out.union(tag(ann_topk_quantized(sf_dir, k, num_queries), "quantized"))
+    return out
+
+
 def ann_ivf(
     sf_dir: str, k: int = 5, num_queries: int = 8, nprobe: int = 2
 ) -> ray.data.Dataset:

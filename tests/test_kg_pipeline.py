@@ -43,6 +43,30 @@ def test_triple_set_precision_recall(corpus_and_oracle):
     )
 
 
+def test_flagship_summary_pin_matches_reference_oracle(corpus_and_oracle):
+    """The pinned sf0.001 constants in the registry's
+    kg_flagship_summary oracle SQL must equal the digest of the
+    REFERENCE-SEMANTICS oracle's triple set — anchoring the pin to the
+    reference checkout, not to the engine under test (which the
+    driver's value-hash gate then compares against the pin)."""
+    import re
+
+    from mhdb_tables2turtles_ray.functions.numeric import (
+        triple_multiset_digest,
+    )
+    from mhdb_tables2turtles_ray.pipelines.registry import oracle_sql
+
+    _, expected, _ = corpus_and_oracle
+    s, p, o = zip(*sorted(expected))
+    digest = format(triple_multiset_digest(list(s), list(p), list(o)), "016x")
+
+    sql = oracle_sql()["kg_flagship_summary"]
+    pin_n = re.search(r"WHEN 1000 THEN CAST\((\d+) AS BIGINT\)", sql).group(1)
+    pin_h = re.search(r"WHEN 1000 THEN '([0-9a-f]{16})'", sql).group(1)
+    assert int(pin_n) == len(expected)
+    assert pin_h == digest
+
+
 def test_sha256_invariant(corpus_and_oracle):
     # every corpus row's content sha256 appears as a triple object
     import hashlib
