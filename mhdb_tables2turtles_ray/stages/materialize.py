@@ -315,4 +315,7 @@ def materialize_turtle(
         "n_triples": int(sum(r["n_triples"] for r in stats)),
         "n_subjects": int(sum(r["n_subjects"] for r in stats)),
         "used_prefixes": sorted(used),
+        # the executed plan's ds.stats() — the observability hook the
+        # shuffle-count / overlap claims in STATS.md are captured from
+        "stats": stats_ds.stats(),
     }
