@@ -130,6 +130,10 @@ def run_benchmarks() -> dict:
     bench("text_pii_scrub", tx.pii_scrub)
     bench("text_top_tokens", tx.top_tokens)
     bench("kg_crosswalk_link", kq.crosswalk_link)
+    bench("text_winnow", tx.winnow_fingerprints)
+    bench("mm_media_meta", mm.media_meta)
+    bench("ann_ivf_partitioned", sim.ann_ivf_partitioned)
+    bench("rel_value_median_by_type", rel.value_median_by_type)
 
     return {
         "metric": "kg_build_wall_sec",

@@ -453,6 +453,51 @@ def value_median_by_type(sf_dir: str) -> ray.data.Dataset:
     return hist.groupby("event_type").map_groups(med, batch_format="pandas")
 
 
+def value_quantiles_by_type(
+    sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> ray.data.Dataset:
+    """(event_type, p50, p90, p99) — EXACT grouped quantiles via the
+    same mergeable cent histogram as :func:`value_median_by_type`
+    (per-batch (type, cents, count) partials; shuffle bounded by the
+    value domain). Interpolation replicates DuckDB ``quantile_cont``
+    bit-for-bit on DOUBLE input: ``lo*(1-δ) + hi*δ`` (the lerp form —
+    verified against DuckDB; the ``lo + δ*(hi-lo)`` form differs in the
+    last ulp)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "cents": pa.array(cents)}
+        )
+        return t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cents_count", alias_name="n"))
+    )
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        counts = g["n"].to_numpy(dtype=np.int64)
+        vals = g["cents"].to_numpy(dtype=np.float64) / 100.0
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out = {"event_type": [g["event_type"].iloc[0]]}
+        for q in qs:
+            pos = (n - 1) * q
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            delta = pos - lo
+            a = vals[np.searchsorted(cum, lo + 1)]
+            b = vals[np.searchsorted(cum, hi + 1)]
+            out[f"p{round(q * 100)}"] = [a * (1 - delta) + b * delta]
+        return pd.DataFrame(out)
+
+    return hist.groupby("event_type").map_groups(quant, batch_format="pandas")
+
+
 def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
     """(event_type, n_users) — exact distinct count per group, the
     two-level shape: per-batch distinct (type, user) pairs pre-shrink

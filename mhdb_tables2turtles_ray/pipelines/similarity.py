@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -383,31 +384,50 @@ def ann_topk_quantized(
     )
 
 
+#: full outer schema of the ann_variants monitoring union
+_VARIANT_SCHEMA = (
+    ("query_id", pa.int64()),
+    ("neighbor_id", pa.int64()),
+    ("rank", pa.int64()),
+    ("cosine", pa.float64()),
+    ("cluster", pa.int64()),
+    ("n_vectors", pa.int64()),
+    ("inertia", pa.float64()),
+)
+
+
 def ann_variants(sf_dir: str, k: int = 5, num_queries: int = 8) -> ray.data.Dataset:
     """Monitoring union of every APPROXIMATE ANN path (the exact path,
     :func:`ann_topk`, has its own SQL-oracled registry row): one tall
     table tagged by ``variant`` — 'ivf' (label partitions),
     'ivf_kmeans' (trained, compute-pruned), 'ivf_partitioned' (trained,
-    I/O-pruned storage), 'quantized' (int8). Consolidates what were
-    four separate rows-only registry entries so every oracled query
+    I/O-pruned storage), 'quantized' (int8), plus 'kmeans_stats'
+    carrying the trained-index observability columns (cluster,
+    n_vectors, inertia; search columns null). Consolidates what were
+    five separate rows-only registry entries so every oracled query
     fits under the driver's correctness gate; each variant's semantics
-    stay pinned by its own tests (recall bounds, variant equality)."""
+    stay pinned by its own tests (recall bounds, variant equality,
+    probe pruning)."""
 
-    def tag(ds: ray.data.Dataset, name: str) -> ray.data.Dataset:
-        return ds.map_batches(
-            lambda t, name=name: t.append_column(
-                "variant", pa.array([name] * t.num_rows, pa.string())
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    def widen(ds: ray.data.Dataset, name: str) -> ray.data.Dataset:
+        def fmt(t: pa.Table, name=name) -> pa.Table:
+            cols = {"variant": pa.array([name] * t.num_rows, pa.string())}
+            for col, typ in _VARIANT_SCHEMA:
+                if col in t.schema.names:
+                    cols[col] = pc.cast(t.column(col), typ)
+                else:
+                    cols[col] = pa.nulls(t.num_rows, typ)
+            return pa.table(cols)
 
-    out = tag(ann_ivf(sf_dir, k, num_queries), "ivf")
-    out = out.union(tag(ann_ivf_kmeans(sf_dir, k, num_queries), "ivf_kmeans"))
+        return ds.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = widen(ann_ivf(sf_dir, k, num_queries), "ivf")
+    out = out.union(widen(ann_ivf_kmeans(sf_dir, k, num_queries), "ivf_kmeans"))
     out = out.union(
-        tag(ann_ivf_partitioned(sf_dir, k, num_queries), "ivf_partitioned")
+        widen(ann_ivf_partitioned(sf_dir, k, num_queries), "ivf_partitioned")
     )
-    out = out.union(tag(ann_topk_quantized(sf_dir, k, num_queries), "quantized"))
+    out = out.union(widen(ann_topk_quantized(sf_dir, k, num_queries), "quantized"))
+    out = out.union(widen(kmeans_cluster_stats(sf_dir), "kmeans_stats"))
     return out
 
 
