@@ -155,3 +155,51 @@ def test_validate_turtle_dir(ray_session, tmp_path):
         f.write("garbage")
     with pytest.raises(ValueError):
         validate_turtle_dir(out_dir)
+
+def test_consolidated_monitoring_queries(ray_session):
+    """The registry's consolidated monitoring unions carry exactly their
+    member queries' rows: sketch_pairs = minhash ∪ simhash (scores
+    preserved); ann_variants = 4 search variants + kmeans_stats with the
+    correct null pattern per variant."""
+    from mhdb_tables2turtles_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+        sketch_pairs,
+    )
+    from mhdb_tables2turtles_ray.pipelines.similarity import ann_variants
+
+    sf = "/root/testdata/sf0.001"
+    sp = sketch_pairs(sf).to_pandas()
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(sf).take_all()
+    }
+    sh = {
+        (r["doc_a"], r["doc_b"]): float(r["hamming"])
+        for r in simhash_pairs(sf).take_all()
+    }
+    got_mh = {
+        (r.doc_a, r.doc_b): r.score
+        for r in sp[sp.variant == "minhash_lsh"].itertuples()
+    }
+    got_sh = {
+        (r.doc_a, r.doc_b): r.score
+        for r in sp[sp.variant == "simhash"].itertuples()
+    }
+    assert got_mh == mh and got_sh == sh
+
+    av = ann_variants(sf).to_pandas()
+    assert set(av.variant.unique()) == {
+        "ivf", "ivf_kmeans", "ivf_partitioned", "quantized", "kmeans_stats",
+    }
+    search = av[av.variant != "kmeans_stats"]
+    stats = av[av.variant == "kmeans_stats"]
+    assert search["query_id"].notna().all() and search["cluster"].isna().all()
+    assert stats["cluster"].notna().all() and stats["query_id"].isna().all()
+    # the trained compute-pruned and I/O-pruned variants agree exactly
+    cols = ["query_id", "neighbor_id", "rank", "cosine"]
+    a = search[search.variant == "ivf_kmeans"][cols].sort_values(cols).reset_index(drop=True)
+    b = search[search.variant == "ivf_partitioned"][cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
