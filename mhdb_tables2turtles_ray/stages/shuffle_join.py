@@ -101,3 +101,44 @@ def hash_join(
         return ldf.merge(rdf, on=on, how=how)[all_cols]
 
     return tagged.groupby(_BUCKET).map_groups(merge, batch_format="pandas")
+
+
+def auto_join(
+    left,
+    right,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    broadcast_threshold: int = 2_000_000,
+    num_buckets: int = 256,
+    hot_keys=None,
+    salt: int = 8,
+):
+    """Strategy-selecting join (the default entry point of the join
+    family): counts the RIGHT side once — at or under
+    ``broadcast_threshold`` rows it is collected, broadcast via
+    ``ray.put`` and probed per left batch (ZERO shuffle, the correct
+    plan for dimension tables at any corpus size); above it the
+    tagged-union shuffle hash join runs (one all-to-all, the
+    big-⋈-big plan). Results are identical either way (pinned by
+    test), mirroring ``stages/semijoin.py``'s exact/Bloom threshold
+    switch so the scale-safe choice is the DEFAULT, not an option the
+    caller must remember."""
+    if right.count() > broadcast_threshold:
+        return hash_join(
+            left, right, on, left_cols, right_cols,
+            num_buckets=num_buckets, how=how, hot_keys=hot_keys, salt=salt,
+        )
+    import ray
+
+    all_cols = [on, *left_cols, *right_cols]
+    ref = ray.put(right.select_columns([on, *right_cols]).to_pandas())
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        return df[[on, *left_cols]].merge(r, on=on, how=how)[all_cols]
+
+    return left.select_columns([on, *left_cols]).map_batches(
+        probe, batch_format="pandas"
+    )

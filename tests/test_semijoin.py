@@ -175,3 +175,35 @@ def test_shuffle_hash_join_salted_matches_unsalted(ray_session):
         num_buckets=8, how="left", hot_keys=[7], salt=4,
     ).take_all()
     assert sum(1 for r in lj if r["k"] == 1) == 1
+
+
+def test_auto_join_strategy_switch(ray_session):
+    """auto_join picks broadcast at-or-under the threshold and the
+    shuffle join above it — identical rows either way, both semantics."""
+    import pandas as pd
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.shuffle_join import auto_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "a": "l1"}, {"k": 1, "a": "l1b"}, {"k": 2, "a": "l2"},
+         {"k": 3, "a": "l3"}]
+    ).repartition(3)
+    right = ray.data.from_items(
+        [{"k": 1, "b": "r1"}, {"k": 2, "b": "r2"}, {"k": 2, "b": "r2b"},
+         {"k": 9, "b": "r9"}]
+    ).repartition(2)
+
+    for how, expect_len in (("inner", 4), ("left", 5)):
+        broadcast = auto_join(
+            left, right, on="k", left_cols=["a"], right_cols=["b"],
+            how=how, broadcast_threshold=1_000,
+        )
+        shuffled = auto_join(
+            left, right, on="k", left_cols=["a"], right_cols=["b"],
+            how=how, broadcast_threshold=0, num_buckets=8,
+        )
+        b = pd.DataFrame(broadcast.take_all()).sort_values(["k", "a", "b"]).reset_index(drop=True)
+        s = pd.DataFrame(shuffled.take_all()).sort_values(["k", "a", "b"]).reset_index(drop=True)
+        assert len(b) == expect_len
+        pd.testing.assert_frame_equal(b, s)
