@@ -95,3 +95,41 @@ def test_resume_ignores_partial_writes(ray_session, tmp_path):
     assert meta["sha256"]
     open(os.path.join(out_dir, f"part-{pid:05d}.ttl"), "a").write("x")
     assert pid not in completed_partitions(out_dir, 4)
+
+
+def test_read_turtle_dir_round_trip(ray_session, tmp_path):
+    """Materialize → read_turtle_dir recovers EXACTLY the pipeline's
+    deduplicated triple set; corrupted shards are skipped (or raise in
+    strict mode)."""
+    import pytest
+
+    from mhdb_tables2turtles_ray.pipelines.kg import kg_build, kg_triples
+    from mhdb_tables2turtles_ray.sources.corpus import corpus_from_documents
+    from mhdb_tables2turtles_ray.sources.turtle import read_turtle_dir
+
+    out = str(tmp_path / "rt")
+    summary = kg_build(
+        corpus_from_documents("/root/testdata/sf0.001"), out, num_partitions=6
+    )
+    back = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in read_turtle_dir(out).take_all()
+    }
+    expect = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in kg_triples(
+            corpus_from_documents("/root/testdata/sf0.001")
+        ).take_all()
+    }
+    assert back == expect and len(back) == summary["n_triples"]
+
+    # corrupt one shard: default read skips it, strict raises
+    import os
+
+    victim = os.path.join(out, f"part-{summary['written'][0]:05d}.ttl")
+    with open(victim, "a") as f:
+        f.write("\ngarbage")
+    partial = read_turtle_dir(out).count()
+    assert partial < len(expect)
+    with pytest.raises(ValueError, match="manifest validation"):
+        read_turtle_dir(out, strict=True)
