@@ -596,7 +596,10 @@ def _union_find_roots(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def dedup_keep_best(
-    sf_dir: str, max_doc_id: int = 300, threshold: float = 0.8
+    sf_dir: str,
+    max_doc_id: int = 300,
+    threshold: float = 0.8,
+    method: str = "driver",
 ) -> ray.data.Dataset:
     """End-to-end near-dup REMOVAL (what a dedup pipeline is for):
     cluster the near-dup pair graph (connected components, exact
@@ -605,21 +608,46 @@ def dedup_keep_best(
     smallest doc_id — plus every unclustered doc. Output: the surviving
     (doc_id) set.
 
-    Shape: pairs (bounded) → driver union-find → broadcast root map →
-    one streamed membership filter over the corpus. The corpus is never
-    collected; the scale path swaps the exact pair source for
-    :func:`minhash_lsh_pairs` unchanged."""
+    ``method="driver"`` (default): pairs (bounded, the sparse-pairs
+    regime) → driver union-find → broadcast drop set → one streamed
+    membership filter. ``method="distributed"``: components come from
+    ``stages/cc.py:connected_components`` (iterative min-label
+    propagation — pairs and labels never touch the driver), the scale
+    path when the pair graph itself is big; identical survivors
+    (pinned by test). Either way the corpus is never collected, and the
+    pair source swaps to :func:`minhash_lsh_pairs` unchanged."""
     import ray
 
-    pairs = [
-        (r["doc_a"], r["doc_b"])
-        for r in jaccard_pairs_subset(sf_dir, max_doc_id, threshold).take_all()
-    ]
-    roots = _union_find_roots(pairs)
-    dropped = np.fromiter(
-        (n for n, r in roots.items() if r != n), dtype=np.int64
-    )
-    ref = ray.put(np.sort(dropped))
+    pair_ds = jaccard_pairs_subset(sf_dir, max_doc_id, threshold)
+    if method == "distributed":
+        from ..stages.cc import connected_components
+
+        comp = connected_components(pair_ds)
+        # dropped = every clustered node that is not its component min
+        dropped = np.sort(
+            np.array(
+                [
+                    r["node"]
+                    for r in comp.take_all()
+                    if r["node"] != r["component"]
+                ],
+                dtype=np.int64,
+            )
+        )
+        # (collecting (node, component) is bounded by the CLUSTERED doc
+        # count, not the corpus; a fully-streamed variant would semi-join
+        # the corpus against comp via stages/semijoin.py)
+    elif method == "driver":
+        pairs = [(r["doc_a"], r["doc_b"]) for r in pair_ds.take_all()]
+        roots = _union_find_roots(pairs)
+        dropped = np.sort(
+            np.fromiter(
+                (n for n, r in roots.items() if r != n), dtype=np.int64
+            )
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    ref = ray.put(dropped)
 
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
 

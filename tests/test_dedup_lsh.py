@@ -275,3 +275,52 @@ def test_index_meta_pins_structural_params(ray_session, tmp_path):
             bloom_capacity=10_000,
             num_perm=32,
         )
+
+
+def test_connected_components(ray_session):
+    """Min-label propagation equals union-find on chains (worst-case
+    diameter), merging chains, cliques and isolated pairs; converges and
+    raises when the iteration bound is too small."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.dedup import _union_find_roots
+    from mhdb_tables2turtles_ray.stages.cc import connected_components
+
+    def run(pairs, **kw):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                    "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        ).repartition(3)
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(ds, **kw).take_all()
+        }
+
+    # a 10-chain + a triangle + an isolated pair + two merging chains
+    pairs = (
+        [(i, i + 1) for i in range(9)]
+        + [(100, 101), (101, 102), (100, 102)]
+        + [(200, 201)]
+        + [(5, 3), (3, 9), (20, 21), (9, 7)]
+    )
+    got = run(pairs)
+    expect = _union_find_roots(pairs)
+    assert got == expect
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        run([(i, i + 1) for i in range(20)], max_iters=2)
+
+
+def test_dedup_keep_best_distributed_matches_driver(ray_session):
+    from mhdb_tables2turtles_ray.pipelines.dedup import dedup_keep_best
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["doc_id"] for r in dedup_keep_best(sf).take_all()}
+    b = {r["doc_id"] for r in dedup_keep_best(sf, method="distributed").take_all()}
+    assert a == b and len(a) > 0
