@@ -272,12 +272,18 @@ def media_meta(
 def frame_sample(sf_dir: str, chunk: int = 64, stride: int = 4) -> ray.data.Dataset:
     """Treat each payload as a frame stream: ``chunk``-byte frames,
     every ``stride``-th sampled. (doc_id, n_frames, n_sampled)."""
+    import numpy as np
+
     ds = binary_payloads(sf_dir)
 
     def sample(batch: pa.Table) -> pa.Table:
-        n_bytes = [len(p) for p in batch.column("payload").to_pylist()]
-        n_frames = [(n + chunk - 1) // chunk for n in n_bytes]
-        n_sampled = [(f + stride - 1) // stride for f in n_frames]
+        n_bytes = (
+            pc.binary_length(batch.column("payload"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_frames = (n_bytes + chunk - 1) // chunk
+        n_sampled = (n_frames + stride - 1) // stride
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
