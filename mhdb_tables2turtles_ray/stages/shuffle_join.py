@@ -103,6 +103,43 @@ def hash_join(
     return tagged.groupby(_BUCKET).map_groups(merge, batch_format="pandas")
 
 
+def detect_hot_keys(
+    ds,
+    col: str,
+    hot_fraction: float = 0.01,
+    per_batch_k: int = 16,
+) -> list:
+    """Approximate heavy hitters of ``ds[col]`` — the keys a bucket
+    shuffle must salt. Per-batch top-``per_batch_k`` value counts are
+    the partials (tiny, fixed-size rows — a full groupby(count) would
+    shuffle every key), merged on the driver; keys whose merged count
+    exceeds ``hot_fraction`` of the total rows are hot. Approximate in
+    the standard space-saving sense: a key spread thinly below every
+    batch's top-k can be missed, but any key holding ≥ hot_fraction of
+    a batch's rows at shuffle-breaking skew levels cannot hide."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts().head(per_batch_k)
+        out = pd.DataFrame({col: vc.index, "n": vc.to_numpy()})
+        # one marker row per batch carries the TRUE batch row count so
+        # the driver can total rows without shuffling every key
+        out["batch_rows"] = 0
+        return pd.concat(
+            [out, pd.DataFrame({col: [None], "n": [0], "batch_rows": [len(df)]})],
+            ignore_index=True,
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()
+    total = int(parts["batch_rows"].sum())
+    if total == 0:
+        return []
+    merged = parts.dropna(subset=[col]).groupby(col)["n"].sum()
+    return sorted(merged[merged >= hot_fraction * total].index.tolist())
+
+
 def auto_join(
     left,
     right,

@@ -207,3 +207,40 @@ def test_auto_join_strategy_switch(ray_session):
         s = pd.DataFrame(shuffled.take_all()).sort_values(["k", "a", "b"]).reset_index(drop=True)
         assert len(b) == expect_len
         pd.testing.assert_frame_equal(b, s)
+
+
+def test_detect_hot_keys(ray_session):
+    """A key holding ~half the rows is detected; uniform keys are not;
+    empty input yields no keys."""
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.shuffle_join import (
+        auto_join,
+        detect_hot_keys,
+        hash_join,
+    )
+
+    rows = [{"k": 7, "a": "hot"}] * 500 + [
+        {"k": i, "a": "cold"} for i in range(100)
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    assert detect_hot_keys(ds, "k", hot_fraction=0.1) == [7]
+    uniform = ray.data.from_items(
+        [{"k": i % 50, "a": "x"} for i in range(500)]
+    ).repartition(4)
+    assert detect_hot_keys(uniform, "k", hot_fraction=0.2) == []
+
+    # detected hot keys drive a salted join that matches the unsalted one
+    right = ray.data.from_items(
+        [{"k": i, "b": f"r{i}"} for i in range(100)] + [{"k": 7, "b": "r7b"}]
+    )
+    hot = detect_hot_keys(ds, "k", hot_fraction=0.1)
+    salted = hash_join(ds, right, on="k", left_cols=["a"], right_cols=["b"],
+                       num_buckets=16, hot_keys=hot, salt=4)
+    plain = auto_join(ds, right, on="k", left_cols=["a"], right_cols=["b"],
+                      broadcast_threshold=0, num_buckets=16)
+    import pandas as pd
+
+    s = pd.DataFrame(salted.take_all()).sort_values(["k", "a", "b"]).reset_index(drop=True)
+    p = pd.DataFrame(plain.take_all()).sort_values(["k", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, p)
