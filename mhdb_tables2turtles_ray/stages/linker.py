@@ -84,6 +84,109 @@ def link_column(
     )
 
 
+class MentionScanner:
+    """Actor-pool callable: detect vocabulary MENTIONS inside a free-
+    text column and score them — the north-star "stateful mention
+    detection + entity-link scoring" stage, generalizing the ST1 probe
+    from field-equality lookup to in-content scanning.
+
+    ``__init__`` (once per actor): materialize the alias dict and build
+    the lowercase alias Arrow array for the membership kernel.
+    ``__call__`` (per batch): RE2 tokenization (``split_pattern_regex``
+    — Arrow regex, no lookarounds) → ``list_flatten`` →
+    ``is_in(aliases)`` → the matched subset maps to canonical entities
+    and aggregates per (row, entity) with one ``np.unique`` — no Python
+    loop over rows or tokens. Output: one row per detected (id, entity)
+    with ``n_mentions`` and ``score`` = n_mentions / n_tokens.
+    """
+
+    def __init__(self, vocab_ref, column: str, id_column: str):
+        vocab = _materialize(vocab_ref)
+        self.alias: dict[str, str] = vocab["alias"] if "alias" in vocab else vocab
+        self.column = column
+        self.id_column = id_column
+        self._alias_arr = pa.array(sorted(self.alias), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = batch.column(self.id_column)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(
+                pc.coalesce(batch.column(self.column), pa.scalar("", pa.string()))
+            ),
+            "[^a-z0-9+#_]+",
+        )
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = la.values
+        row_of = np.repeat(
+            np.arange(batch.num_rows), np.diff(la.offsets.to_numpy())
+        )
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        # denominator = real (non-empty) token count per row; boundary
+        # splits produce "" tokens that must not dilute the score
+        n_tokens = np.bincount(row_of[nonempty], minlength=batch.num_rows)
+        hit = pc.is_in(flat, value_set=self._alias_arr).to_numpy(
+            zero_copy_only=False
+        )
+        hit &= nonempty
+        if not hit.any():
+            return pa.table(
+                {
+                    self.id_column: pa.array([], ids.type),
+                    "entity": pa.array([], pa.string()),
+                    "n_mentions": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        m_rows = row_of[hit]
+        m_toks = np.asarray(flat.to_numpy(zero_copy_only=False)[hit], dtype=object)
+        # canonicalize only the matched tokens (small): distinct surface
+        # forms map through the alias dict once
+        uniq, inv = np.unique(m_toks, return_inverse=True)
+        canon = np.array([self.alias[u] for u in uniq.tolist()], dtype=object)[inv]
+        # count per (row, entity)
+        euniq, einv = np.unique(canon, return_inverse=True)
+        combined = m_rows * len(euniq) + einv
+        cuniq, counts = np.unique(combined, return_counts=True)
+        out_rows = (cuniq // len(euniq)).astype(np.int64)
+        out_ents = np.array(euniq, dtype=object)[cuniq % len(euniq)]
+        denom = np.maximum(n_tokens[out_rows], 1)
+        return pa.table(
+            {
+                self.id_column: ids.take(pa.array(out_rows)),
+                "entity": pa.array(out_ents, pa.string()),
+                "n_mentions": pa.array(counts, pa.int64()),
+                "score": pa.array(counts / denom, pa.float64()),
+            }
+        )
+
+
+def scan_mentions(
+    ds,
+    vocab_ref,
+    column: str = "content",
+    id_column: str = "path",
+    concurrency=(1, 4),
+    batch_size: int = 2048,
+):
+    """Attach a MentionScanner actor pool: (id, entity, n_mentions,
+    score) rows for every vocabulary mention detected in ``column``."""
+    return ds.map_batches(
+        MentionScanner,
+        fn_constructor_kwargs={
+            "vocab_ref": vocab_ref,
+            "column": column,
+            "id_column": id_column,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class CrosswalkResolver:
     """Actor-pool callable: resolve (reln_type, startNode, endNode) edge
     batches into triples via the unified waterfall dictionary.

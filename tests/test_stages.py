@@ -203,3 +203,50 @@ def test_emitter_composed_excluded_subject_skipped():
         TripleEmitter([spec])(pa.table({"a": ["Na", "x"], "b": ["N", "y"]}))
     )
     assert out == {(":xy", "a", ":Thing")}
+
+
+def test_mention_scanner(ray_session):
+    """In-content mention detection: exact-token alias hits counted per
+    (row, entity), scored by non-empty token count; no-mention rows emit
+    nothing; the Arrow path equals a straight Python oracle."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.linker import scan_mentions
+
+    alias = {"python": "Python", "py": "Python", "rust": "Rust", "go": "Go"}
+    docs = [
+        ("a", "Ported from Python to Rust; python wins"),   # python×2, rust×1
+        ("b", "nothing to see here"),
+        ("c", "go GO gO"),                                   # go×3 (case-folded)
+        ("d", ""),
+        ("e", "py.py;py"),                                   # separators split -> py×3
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc": pa.array([d for d, _ in docs], pa.string()),
+                "content": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    ).repartition(2)
+    out = scan_mentions(
+        ds, ray.put({"alias": alias}), column="content", id_column="doc"
+    ).to_pandas()
+    got = {
+        (r.doc, r.entity): (r.n_mentions, r.score) for r in out.itertuples()
+    }
+
+    import re
+
+    expect = {}
+    for doc, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9+#_]+", text.lower()) if t]
+        for t in toks:
+            if t in alias:
+                k = (doc, alias[t])
+                n = expect.get(k, (0, 0))[0] + 1
+                expect[k] = (n, n / len(toks))
+    assert got == expect
+    assert ("b", "Python") not in got and not any(d == "d" for d, _ in got)
