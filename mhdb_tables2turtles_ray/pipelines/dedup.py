@@ -848,11 +848,19 @@ def incremental_exact_dedup(
                 )
                 return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
 
+            # stream the OR-merge (one partial resident at a time — see
+            # stages/semijoin.py:build_key_filter for the measured
+            # take_all() blowup this avoids)
             merged = BloomFilter(capacity=n, fpp=fpp)
-            for row in idx_ds.map_batches(
-                bloom_partial, batch_format="pyarrow", zero_copy_batch=True
-            ).take_all():
-                merged.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+            parts = idx_ds.map_batches(
+                bloom_partial,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=65536,
+            )
+            for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
+                for bits in b.column("bits").to_pylist():
+                    merged.bits |= np.frombuffer(bits, dtype=np.uint64)
             seen_filter = merged
     seen_ref = ray.put(seen_filter)
 

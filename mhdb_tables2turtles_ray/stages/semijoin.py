@@ -77,11 +77,18 @@ def build_key_filter(
         bf.add(batch.column(column).to_numpy())
         return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
 
+    # STREAM the OR-merge (iter_batches, not take_all): partial filters
+    # arrive under backpressure and the driver holds ~one at a time —
+    # take_all would resident #batches × filter_size at once, which at
+    # a 1M-key index already cost >1 GB of driver heap (measured).
+    # Large batch_size keeps the partial count (and total wire bytes) low.
     merged = BloomFilter(capacity=n, fpp=fpp)
-    for row in keys_ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all():
-        merged.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    parts = keys_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+    for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
+        for bits in b.column("bits").to_pylist():
+            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
     return merged
 
 
