@@ -458,15 +458,20 @@ def ann_ivf(
             }
         )
 
-    parts = (
-        read_table(sf_dir, "embeddings", columns=["label", "embedding"])
-        .map_batches(centroid_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
-    )
+    # stream the partial-mean reduce (one block resident at a time —
+    # take_all would grow with batch count; see stages/kmeans.py)
+    parts = read_table(
+        sf_dir, "embeddings", columns=["label", "embedding"]
+    ).map_batches(centroid_partial, batch_format="pyarrow", zero_copy_batch=True)
     acc: dict[int, list] = {}
-    for row in parts:
-        s, c = acc.setdefault(int(row["label"]), [0.0, 0])
-        acc[int(row["label"])] = [s + np.asarray(row["sum"]), c + row["count"]]
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for la, s, c in zip(
+            b.column("label").to_pylist(),
+            b.column("sum").to_pylist(),
+            b.column("count").to_pylist(),
+        ):
+            prev_s, prev_c = acc.setdefault(int(la), [0.0, 0])
+            acc[int(la)] = [prev_s + np.asarray(s), prev_c + c]
     labels = np.array(sorted(acc), dtype=np.int64)
     cmat = np.stack([acc[la][0] / acc[la][1] for la in labels])
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)

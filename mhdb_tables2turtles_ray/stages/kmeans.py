@@ -36,11 +36,21 @@ def _min_k_rows(ds, k: int, id_column: str) -> list[dict]:
             batch = batch.take(pa.array(np.sort(keep)))
         return batch.select([id_column, "embedding"])
 
-    survivors = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    survivors.sort(key=lambda r: r[id_column])
-    return survivors[:k]
+    # STREAM the final merge: a running top-k over iter_batches keeps
+    # the driver at ≤ 2k rows — take_all() would resident k rows per
+    # BATCH at once, which grows with the corpus
+    best: list[dict] = []
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        best.extend(
+            {id_column: i, "embedding": e}
+            for i, e in zip(
+                b.column(id_column).to_pylist(), b.column("embedding").to_pylist()
+            )
+        )
+        best.sort(key=lambda r: r[id_column])
+        del best[k:]
+    return best
 
 
 def kmeans_fit(
@@ -79,14 +89,19 @@ def kmeans_fit(
                 }
             )
 
-        parts = ds.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()  # k rows per batch — tiny
+        # stream the reduce: k rows per batch arrive under backpressure
+        # and fold into the running (sums, counts) — the driver never
+        # holds more than one partial block (take_all would resident
+        # #batches × k × dim floats at once)
         sums = np.zeros_like(centroids)
         counts = np.zeros(k, dtype=np.int64)
-        for row in parts:
-            sums[row["cluster"]] += np.asarray(row["sum"])
-            counts[row["cluster"]] += row["count"]
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+            cl = b.column("cluster").to_numpy()
+            np.add.at(sums, cl, np.asarray(b.column("sum").to_pylist()))
+            np.add.at(counts, cl, b.column("count").to_numpy())
         nonempty = counts > 0
         centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
 

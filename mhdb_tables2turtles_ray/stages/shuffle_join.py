@@ -118,12 +118,13 @@ def detect_hot_keys(
     batch's top-k can be missed, but any key holding ≥ hot_fraction of
     a batch's rows at shuffle-breaking skew levels cannot hide."""
     import pandas as pd
+    from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df[col].value_counts().head(per_batch_k)
         out = pd.DataFrame({col: vc.index, "n": vc.to_numpy()})
         # one marker row per batch carries the TRUE batch row count so
-        # the driver can total rows without shuffling every key
+        # totals need no second pass over the input
         out["batch_rows"] = 0
         return pd.concat(
             [out, pd.DataFrame({col: [None], "n": [0], "batch_rows": [len(df)]})],
@@ -132,12 +133,23 @@ def detect_hot_keys(
 
     parts = ds.select_columns([col]).map_batches(
         partial, batch_format="pandas"
-    ).to_pandas()
-    total = int(parts["batch_rows"].sum())
+    ).materialize()  # consumed twice: total + merge; k+1 tiny rows/batch
+    total = int(parts.sum("batch_rows") or 0)
     if total == 0:
         return []
-    merged = parts.dropna(subset=[col]).groupby(col)["n"].sum()
-    return sorted(merged[merged >= hot_fraction * total].index.tolist())
+    # merge candidate counts with a Ray groupby (marker rows dropped
+    # first) — the driver only ever sees the DISTINCT candidate keys,
+    # not per-batch partial rows
+    merged = (
+        parts.map_batches(
+            lambda d: d[d[col].notna()][[col, "n"]], batch_format="pandas"
+        )
+        .groupby(col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    hot = merged[merged["n"] >= hot_fraction * total][col]
+    return sorted(hot.tolist())
 
 
 def auto_join(
