@@ -76,11 +76,16 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
         hll.add(col.drop_null().to_numpy(zero_copy_only=False))
         return pa.table({"registers": pa.array([hll.registers.tobytes()], pa.binary())})
 
+    # stream the register merge (one partial resident at a time; a
+    # take_all would resident #batches × 2^p bytes — same class of
+    # driver blowup as the Bloom merge fixed in stages/semijoin.py)
     merged = HyperLogLog(p)
-    for row in ds.map_batches(
-        sketch, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all():
-        other = HyperLogLog(p)
-        other.registers = np.frombuffer(row["registers"], dtype=np.uint8).copy()
-        merged = merged.merge(other)
+    parts = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for regs in b.column("registers").to_pylist():
+            np.maximum(
+                merged.registers,
+                np.frombuffer(regs, dtype=np.uint8),
+                out=merged.registers,
+            )
     return merged.estimate()
