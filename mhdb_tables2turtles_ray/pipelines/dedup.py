@@ -837,31 +837,22 @@ def incremental_exact_dedup(
                 sorted(idx_ds.unique("text_md5")), pa.string()
             )
         else:
-            # Bloom path: per-batch partial filters over 64-bit digest
-            # hashes, OR-merged fixed-size rows — keys never collect
-            def bloom_partial(batch: pa.Table) -> pa.Table:
-                bf = BloomFilter(capacity=n, fpp=fpp)
-                bf.add(
-                    pd.util.hash_array(
-                        np.asarray(batch.column("text_md5").to_pylist(), dtype=object)
-                    )
-                )
-                return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+            # Bloom path: hash the digests to 64-bit keys and reuse the
+            # semi-join filter builder (forced Bloom via
+            # exact_threshold=0) — ONE copy of the distributed build +
+            # streamed OR-merge logic to maintain
+            from ..stages.semijoin import build_key_filter
 
-            # stream the OR-merge (one partial resident at a time — see
-            # stages/semijoin.py:build_key_filter for the measured
-            # take_all() blowup this avoids)
-            merged = BloomFilter(capacity=n, fpp=fpp)
-            parts = idx_ds.map_batches(
-                bloom_partial,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                batch_size=65536,
+            def hash_keys(batch: pa.Table) -> pa.Table:
+                h = pd.util.hash_array(
+                    np.asarray(batch.column("text_md5").to_pylist(), dtype=object)
+                )
+                return pa.table({"k": pa.array(h.view(np.int64))})
+
+            hashed = idx_ds.map_batches(
+                hash_keys, batch_format="pyarrow", zero_copy_batch=True
             )
-            for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
-                for bits in b.column("bits").to_pylist():
-                    merged.bits |= np.frombuffer(bits, dtype=np.uint64)
-            seen_filter = merged
+            seen_filter = build_key_filter(hashed, "k", exact_threshold=0, fpp=fpp)
     seen_ref = ray.put(seen_filter)
 
     def drop_seen(batch: pa.Table) -> pa.Table:

@@ -405,17 +405,11 @@ def topk_orders_per_customer(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     return grouped_map(ds, "o_custkey", topk)
 
 
-def value_median_by_type(sf_dir: str) -> ray.data.Dataset:
-    """(event_type, median_value) — EXACT per-group median via a
-    mergeable cent histogram. 2-decimal values admit an exact fixed-point
-    histogram: each batch emits (event_type, cents, count) partials, the
-    groupby merges them (the shuffle carries histogram rows bounded by
-    the VALUE DOMAIN, never the corpus), and the median is read off the
-    cumulative histogram as the two middle order statistics — identical
-    to numpy's interpolated median / DuckDB ``median`` (quantile_cont
-    0.5), but no task ever holds a whole group's raw values (the former
-    ``groupby(event_type).map_groups`` held ~20% of the corpus per task
-    at 5 event types)."""
+def _event_cent_hist(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, cents, n) — the mergeable fixed-point histogram the
+    quantile family shares: each batch emits (type, cents, count)
+    partials, the groupby merges them; the shuffle carries histogram
+    rows bounded by the VALUE DOMAIN, never the corpus."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def hist_partial(batch: pa.Table) -> pa.Table:
@@ -425,11 +419,22 @@ def value_median_by_type(sf_dir: str) -> ray.data.Dataset:
         )
         return t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
 
-    hist = (
+    return (
         ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "cents"])
         .aggregate(Sum("cents_count", alias_name="n"))
     )
+
+
+def value_median_by_type(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, median_value) — EXACT per-group median via the
+    shared cent histogram (:func:`_event_cent_hist`); the median is read
+    off the cumulative histogram as the two middle order statistics —
+    identical to numpy's interpolated median / DuckDB ``median``
+    (quantile_cont 0.5), and no task ever holds a whole group's raw
+    values (the former ``groupby(event_type).map_groups`` held ~20% of
+    the corpus per task at 5 event types)."""
+    hist = _event_cent_hist(sf_dir)
 
     def med(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("cents")
@@ -463,20 +468,7 @@ def value_quantiles_by_type(
     bit-for-bit on DOUBLE input: ``lo*(1-δ) + hi*δ`` (the lerp form —
     verified against DuckDB; the ``lo + δ*(hi-lo)`` form differs in the
     last ulp)."""
-    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        cents = np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
-        t = pa.table(
-            {"event_type": batch.column("event_type"), "cents": pa.array(cents)}
-        )
-        return t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
-
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "cents"])
-        .aggregate(Sum("cents_count", alias_name="n"))
-    )
+    hist = _event_cent_hist(sf_dir)
 
     def quant(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("cents")

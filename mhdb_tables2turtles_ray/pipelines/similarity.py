@@ -141,7 +141,12 @@ def _probed_partial_fn(qref, k: int):
 
 
 def ann_ivf_kmeans(
-    sf_dir: str, k: int = 5, num_queries: int = 8, n_clusters: int = 8, nprobe: int = 2
+    sf_dir: str,
+    k: int = 5,
+    num_queries: int = 8,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    centroids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """IVF with TRAINED coarse centroids (distributed Lloyd k-means,
     stages/kmeans.py) instead of the given ``label`` partitions: fit →
@@ -149,11 +154,13 @@ def ann_ivf_kmeans(
     per query → partial/final top-k within the probed subset. Pruning
     here is COMPUTE-side (the whole table is read, unprobed clusters
     filtered); :func:`ann_ivf_partitioned` is the I/O-pruned variant
-    over cluster-partitioned storage."""
+    over cluster-partitioned storage. Pass ``centroids`` to reuse an
+    existing fit (e.g. the shared index in :func:`ann_variants`)."""
     from ..stages.kmeans import kmeans_assign, kmeans_fit
 
-    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    centroids = kmeans_fit(base, k=n_clusters, iterations=4)
+    if centroids is None:
+        base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        centroids = kmeans_fit(base, k=n_clusters, iterations=4)
     qids, qmat = _query_block(sf_dir, num_queries)
     mask = _probe_mask(qmat, centroids, nprobe)
 
@@ -214,6 +221,47 @@ def build_ivf_index(
     return centroids
 
 
+def _default_index_dir(sf_dir: str, n_clusters: int, iterations: int) -> str:
+    """Deterministic per-(input, params) cache path under /tmp — repeat
+    calls REUSE the index (the resumable sink skips finished partitions)
+    instead of accumulating one orphan mkdtemp directory per call.
+    Assumes the input embeddings are immutable for the path's lifetime
+    (true for the read-only testdata this serves)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:12]
+    return os.path.join(
+        "/tmp", "mhdb_ivf_cache", f"{key}-k{n_clusters}-i{iterations}"
+    )
+
+
+def _load_or_build_index(
+    sf_dir: str, index_dir: str, n_clusters: int, iterations: int
+) -> np.ndarray:
+    """Centroids of the cluster-partitioned index at ``index_dir`` —
+    loading an EXISTING index validates the pinned structural params
+    first (``_index_meta``), so an ``n_clusters`` mismatch fails loudly
+    instead of silently excluding probed clusters ≥ the caller's count
+    from the completed-partition set; builds the index when absent."""
+    import os
+
+    from .dedup import _index_meta
+
+    centroid_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(centroid_path):
+        _index_meta(
+            index_dir,
+            {
+                "kind": "ivf_clustered",
+                "n_clusters": n_clusters,
+                "iterations": iterations,
+            },
+        )
+        return np.load(centroid_path)
+    return build_ivf_index(sf_dir, index_dir, n_clusters, iterations)
+
+
 def ann_ivf_partitioned(
     sf_dir: str,
     k: int = 5,
@@ -229,20 +277,14 @@ def ann_ivf_partitioned(
     the same partial/final top-k as :func:`ann_ivf_kmeans`. With the
     same fit parameters the result is IDENTICAL to
     :func:`ann_ivf_kmeans` (same centroids, same probed rows) — pinned
-    by test. Builds the index on first use when ``index_dir`` has none
-    (resumable; finished partitions are skipped on rebuild)."""
-    import os
-    import tempfile
-
+    by test. Builds the index on first use (resumable; finished
+    partitions are skipped), caching under a deterministic /tmp path
+    when ``index_dir`` is not given."""
     from ..state.manifest import completed_partitions, data_path
 
     if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
-    centroid_path = os.path.join(index_dir, "centroids.npy")
-    if not os.path.exists(centroid_path):
-        centroids = build_ivf_index(sf_dir, index_dir, n_clusters, iterations)
-    else:
-        centroids = np.load(centroid_path)
+        index_dir = _default_index_dir(sf_dir, n_clusters, iterations)
+    centroids = _load_or_build_index(sf_dir, index_dir, n_clusters, iterations)
 
     qids, qmat = _query_block(sf_dir, num_queries)
     mask = _probe_mask(qmat, centroids, nprobe)
@@ -262,7 +304,10 @@ def ann_ivf_partitioned(
 
 
 def kmeans_cluster_stats(
-    sf_dir: str, n_clusters: int = 8, iterations: int = 4
+    sf_dir: str,
+    n_clusters: int = 8,
+    iterations: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """(cluster, n_vectors, inertia) — trained-IVF observability: per-
     cluster population and summed squared distance to the centroid, the
@@ -274,7 +319,8 @@ def kmeans_cluster_stats(
     from ..stages.kmeans import kmeans_fit
 
     base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    centroids = kmeans_fit(base, k=n_clusters, iterations=iterations)
+    if centroids is None:
+        centroids = kmeans_fit(base, k=n_clusters, iterations=iterations)
     cref = ray.put(centroids)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -421,13 +467,27 @@ def ann_variants(sf_dir: str, k: int = 5, num_queries: int = 8) -> ray.data.Data
 
         return ds.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
 
+    # ONE shared trained index powers the three kmeans-based variants
+    # (fit once, reuse the cached cluster-partitioned storage) — the
+    # deterministic fit makes this observationally identical to
+    # independent fits, minus two redundant full fits per run
+    idx = _default_index_dir(sf_dir, 8, 4)
+    centroids = _load_or_build_index(sf_dir, idx, 8, 4)
+
     out = widen(ann_ivf(sf_dir, k, num_queries), "ivf")
-    out = out.union(widen(ann_ivf_kmeans(sf_dir, k, num_queries), "ivf_kmeans"))
     out = out.union(
-        widen(ann_ivf_partitioned(sf_dir, k, num_queries), "ivf_partitioned")
+        widen(ann_ivf_kmeans(sf_dir, k, num_queries, centroids=centroids), "ivf_kmeans")
+    )
+    out = out.union(
+        widen(
+            ann_ivf_partitioned(sf_dir, k, num_queries, index_dir=idx),
+            "ivf_partitioned",
+        )
     )
     out = out.union(widen(ann_topk_quantized(sf_dir, k, num_queries), "quantized"))
-    out = out.union(widen(kmeans_cluster_stats(sf_dir), "kmeans_stats"))
+    out = out.union(
+        widen(kmeans_cluster_stats(sf_dir, centroids=centroids), "kmeans_stats")
+    )
     return out
 
 

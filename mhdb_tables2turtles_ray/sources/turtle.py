@@ -61,13 +61,21 @@ def read_turtle_dir(
     import os
 
     if num_partitions is None:
-        pids = sorted(
-            int(f[len("part-") : -len(".ttl")])
-            for f in os.listdir(out_dir)
-            if f.startswith("part-") and f.endswith(".ttl")
-        )
+        # scan BOTH data files and manifests: a shard whose data file was
+        # deleted but whose manifest survives must still land in `bad`
+        # (strict mode exists to catch exactly that)
+        pids = set()
+        for f in os.listdir(out_dir):
+            if f.startswith("part-") and f.endswith(".ttl"):
+                pids.add(int(f[len("part-") : -len(".ttl")]))
+        mdir = os.path.join(out_dir, "_manifests")
+        if os.path.isdir(mdir):
+            for f in os.listdir(mdir):
+                if f.startswith("part-") and f.endswith(".json"):
+                    pids.add(int(f[len("part-") : -len(".json")]))
+        pids = sorted(pids)
     else:
-        pids = [p for p in range(num_partitions) if os.path.exists(data_path(out_dir, p))]
+        pids = list(range(num_partitions))
 
     good, bad = [], []
     for p in pids:

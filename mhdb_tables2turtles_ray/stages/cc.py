@@ -49,6 +49,17 @@ def connected_components(
     edges = pairs.map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # reused every iteration
+    if edges.count() == 0:
+        # no pairs → no clustered nodes (Dataset.aggregate returns None
+        # on empty input, so the iteration below must not run)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     import pyarrow.compute as pc
 

@@ -64,6 +64,15 @@ def pagerank(
         .materialize()
     )
     n_nodes = degrees.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     ranks = degrees.map_batches(
         lambda t: pa.table(
@@ -79,10 +88,12 @@ def pagerank(
     ).materialize()
 
     for _ in range(iterations):
-        # rank + degree per node, for the per-edge contribution
+        # rank + degree per node, for the per-edge contribution —
+        # materialized because it is consumed three times per round
+        # (dangling-mass sum, auto_join's right-side count, the join)
         state = auto_join(
             ranks, degrees, on="node", left_cols=["rank"], right_cols=["out_degree"]
-        )
+        ).materialize()
         # dangling mass = sum of ranks with no out-edges (tiny scalar)
         dm_row = state.map_batches(
             lambda t: pa.table(

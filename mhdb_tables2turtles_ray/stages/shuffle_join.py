@@ -123,30 +123,25 @@ def detect_hot_keys(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df[col].value_counts().head(per_batch_k)
         out = pd.DataFrame({col: vc.index, "n": vc.to_numpy()})
-        # one marker row per batch carries the TRUE batch row count so
-        # totals need no second pass over the input
-        out["batch_rows"] = 0
-        return pd.concat(
-            [out, pd.DataFrame({col: [None], "n": [0], "batch_rows": [len(df)]})],
-            ignore_index=True,
-        )
+        # the FIRST row of each partial carries the true batch row count
+        # (a None-key sentinel row would coerce integer key columns to
+        # float64 and corrupt 64-bit keys); an empty batch emits no rows
+        # and contributes exactly 0 to the total
+        out["marker_rows"] = 0
+        if len(out):
+            out.iloc[0, out.columns.get_loc("marker_rows")] = len(df)
+        return out
 
     parts = ds.select_columns([col]).map_batches(
         partial, batch_format="pandas"
-    ).materialize()  # consumed twice: total + merge; k+1 tiny rows/batch
-    total = int(parts.sum("batch_rows") or 0)
+    ).materialize()  # consumed twice: total + merge; ≤k tiny rows/batch
+    total = int(parts.sum("marker_rows") or 0)
     if total == 0:
         return []
-    # merge candidate counts with a Ray groupby (marker rows dropped
-    # first) — the driver only ever sees the DISTINCT candidate keys,
-    # not per-batch partial rows
+    # merge candidate counts with a Ray groupby — the driver only ever
+    # sees the DISTINCT candidate keys, not per-batch partial rows
     merged = (
-        parts.map_batches(
-            lambda d: d[d[col].notna()][[col, "n"]], batch_format="pandas"
-        )
-        .groupby(col)
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        parts.groupby(col).aggregate(Sum("n", alias_name="n")).to_pandas()
     )
     hot = merged[merged["n"] >= hot_fraction * total][col]
     return sorted(hot.tolist())

@@ -133,3 +133,11 @@ def test_read_turtle_dir_round_trip(ray_session, tmp_path):
     assert partial < len(expect)
     with pytest.raises(ValueError, match="manifest validation"):
         read_turtle_dir(out, strict=True)
+
+    # a DELETED shard (manifest left behind) must also fail strict mode
+    victim2 = os.path.join(out, f"part-{summary['written'][1]:05d}.ttl")
+    os.remove(victim2)
+    with pytest.raises(ValueError, match="manifest validation"):
+        read_turtle_dir(out, strict=True)
+    with pytest.raises(ValueError, match="manifest validation"):
+        read_turtle_dir(out, num_partitions=6, strict=True)

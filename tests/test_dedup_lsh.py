@@ -324,3 +324,17 @@ def test_dedup_keep_best_distributed_matches_driver(ray_session):
     a = {r["doc_id"] for r in dedup_keep_best(sf).take_all()}
     b = {r["doc_id"] for r in dedup_keep_best(sf, method="distributed").take_all()}
     assert a == b and len(a) > 0
+
+
+def test_connected_components_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.cc import connected_components
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    )
+    assert connected_components(empty).take_all() == []

@@ -139,3 +139,24 @@ def test_quantized_ann_recall(ray_session):
     q = np.asarray(row["qvec"], dtype=np.int8)
     assert q.min() >= -127 and q.max() <= 127
     assert row["scale"] > 0
+
+
+def test_ivf_index_param_mismatch_fails_loudly(ray_session, tmp_path):
+    """Loading an existing cluster-partitioned index with a different
+    n_clusters must raise — a silent mismatch would exclude probed
+    clusters' partition files from the completed set."""
+    import pytest
+
+    from mhdb_tables2turtles_ray.pipelines.similarity import (
+        ann_ivf_partitioned,
+        build_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf16")
+    build_ivf_index(sf, idx, n_clusters=16, iterations=2)
+    with pytest.raises(ValueError, match="n_clusters"):
+        ann_ivf_partitioned(sf, index_dir=idx, n_clusters=8, iterations=2)
+    # matching params load fine
+    out = ann_ivf_partitioned(sf, index_dir=idx, n_clusters=16, iterations=2)
+    assert out.count() > 0

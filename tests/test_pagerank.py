@@ -55,3 +55,15 @@ def test_pagerank_matches_dense_reference(ray_session):
     assert abs(sum(got.values()) - 1.0) < 1e-9  # dangling mass conserved
     # the hub out-ranks every spoke
     assert got[1] == max(got.values())
+
+
+def test_pagerank_empty_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.pagerank import pagerank
+
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    assert pagerank(empty).take_all() == []

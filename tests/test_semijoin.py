@@ -244,3 +244,17 @@ def test_detect_hot_keys(ray_session):
     s = pd.DataFrame(salted.take_all()).sort_values(["k", "a", "b"]).reset_index(drop=True)
     p = pd.DataFrame(plain.take_all()).sort_values(["k", "a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, p)
+
+
+def test_detect_hot_keys_preserves_64bit_keys(ray_session):
+    """Integer keys survive exactly (no float64 coercion): a hot key
+    above 2^53 comes back as the exact Python int."""
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.shuffle_join import detect_hot_keys
+
+    big = (1 << 62) + 12345
+    rows = [{"k": big, "a": 1}] * 300 + [{"k": (1 << 62) + i, "a": 1} for i in range(50)]
+    ds = ray.data.from_items(rows).repartition(3)
+    hot = detect_hot_keys(ds, "k", hot_fraction=0.2)
+    assert hot == [big] and isinstance(hot[0], int)
