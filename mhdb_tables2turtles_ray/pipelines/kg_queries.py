@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -134,9 +135,12 @@ def flagship_summary(sf_dir: str) -> ray.data.Dataset:
 
     parts = triples.map_batches(
         digest_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    n = int(sum(r["n"] for r in parts))
-    h = sum(int(r["h"]) for r in parts) % (1 << 64)
+    )
+    n, h = 0, 0
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n += int(pc.sum(b.column("n")).as_py() or 0)
+        for hv in b.column("h").to_pylist():
+            h = (h + int(hv)) % (1 << 64)
     return ray.data.from_arrow(
         pa.table(
             {
