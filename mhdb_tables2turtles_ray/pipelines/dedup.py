@@ -660,6 +660,46 @@ def dedup_keep_best(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dedup_keep_best_lsh(
+    sf_dir: str | None = None,
+    ds: ray.data.Dataset | None = None,
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> ray.data.Dataset:
+    """At-scale near-dup REMOVAL, composed entirely from the scale
+    paths: MinHash-LSH candidate pairs (banded shuffle, two-pass
+    verify) → DISTRIBUTED connected components (iterative min-label
+    propagation, ``stages/cc.py``) → anti semi-join of the corpus
+    against the non-representative cluster members (thresholded
+    broadcast key filter — exact, per anti-join semantics). No exact
+    pair join, no driver union-find, no corpus collection anywhere:
+    the sketch-based counterpart of :func:`dedup_keep_best` (which
+    stays oracle-checkable via exact Jaccard on a bounded subset).
+    Survivors = each near-dup cluster's smallest doc_id + every
+    unclustered doc."""
+    import ray
+
+    from ..stages.cc import connected_components
+    from ..stages.semijoin import build_key_filter, semi_join
+
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(threshold=threshold, ds=ds, **lsh_kwargs)
+    comp = connected_components(pairs)
+
+    def non_roots(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("node"), t.column("component"))
+        return pa.table({"doc_id": t.filter(keep).column("node")})
+
+    dropped = comp.map_batches(
+        non_roots, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keys = build_key_filter(dropped, "doc_id", exact_threshold=None)  # anti → exact
+    return semi_join(
+        ds.select_columns(["doc_id"]), "doc_id", ray.put(keys), anti=True
+    )
+
+
 def embedding_near_dup(
     sf_dir: str, max_query_id: int = 100, threshold: float = 0.3
 ) -> ray.data.Dataset:

@@ -338,3 +338,32 @@ def test_connected_components_empty(ray_session):
         )
     )
     assert connected_components(empty).take_all() == []
+
+
+def test_dedup_keep_best_lsh_scale_composition(ray_session):
+    """The all-scale-paths removal (LSH pairs → distributed CC → anti
+    semi-join) keeps exactly each cluster's smallest id + all
+    unclustered docs, agreeing with a driver union-find over the SAME
+    minhash pair set."""
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.pipelines.dedup import (
+        _union_find_roots,
+        dedup_keep_best_lsh,
+        minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    survivors = {r["doc_id"] for r in dedup_keep_best_lsh(sf).take_all()}
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(sf).take_all()
+    ]
+    assert pairs  # the testdata contains near-dups
+    roots = _union_find_roots(pairs)
+    all_ids = set(
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    expected_dropped = {n for n, r in roots.items() if r != n}
+    assert survivors == all_ids - expected_dropped
