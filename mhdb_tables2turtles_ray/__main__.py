@@ -109,7 +109,6 @@ def main(argv=None) -> int:
         from .stages.validate import validate_turtle_dir
 
         summary["validation"] = validate_turtle_dir(args.out)
-    summary.pop("stats", None)  # multi-line ds.stats() — not for the one-line CLI JSON
     print(json.dumps(summary))
     ray.shutdown()
     return 0

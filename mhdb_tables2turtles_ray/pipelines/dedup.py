@@ -600,6 +600,7 @@ def dedup_keep_best(
     max_doc_id: int = 300,
     threshold: float = 0.8,
     method: str = "driver",
+    cc_max_iters: int = 25,
 ) -> ray.data.Dataset:
     """End-to-end near-dup REMOVAL (what a dedup pipeline is for):
     cluster the near-dup pair graph (connected components, exact
@@ -622,7 +623,7 @@ def dedup_keep_best(
     if method == "distributed":
         from ..stages.cc import connected_components
 
-        comp = connected_components(pair_ds)
+        comp = connected_components(pair_ds, max_iters=cc_max_iters)
         # dropped = every clustered node that is not its component min
         dropped = np.sort(
             np.array(
@@ -664,6 +665,7 @@ def dedup_keep_best_lsh(
     sf_dir: str | None = None,
     ds: ray.data.Dataset | None = None,
     threshold: float = 0.5,
+    cc_max_iters: int = 25,
     **lsh_kwargs,
 ) -> ray.data.Dataset:
     """At-scale near-dup REMOVAL, composed entirely from the scale
@@ -685,7 +687,10 @@ def dedup_keep_best_lsh(
     if ds is None:
         ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_lsh_pairs(threshold=threshold, ds=ds, **lsh_kwargs)
-    comp = connected_components(pairs)
+    # cc_max_iters bounds the label-propagation rounds (≈ cluster-graph
+    # diameter) — exposed so a deep near-dup chain is actionable from
+    # the caller instead of a dead-end RuntimeError
+    comp = connected_components(pairs, max_iters=cc_max_iters)
 
     def non_roots(t: pa.Table) -> pa.Table:
         keep = pc.not_equal(t.column("node"), t.column("component"))

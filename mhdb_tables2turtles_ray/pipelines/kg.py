@@ -157,8 +157,11 @@ def kg_build(
     # materialize shuffle (duplicate triples share their subject, so the
     # subject-hash partition dedups exactly) — one all-to-all total.
     specs=None,
+    include_stats: bool = False,
 ) -> dict:
-    """Full build: triples + Turtle shards + manifests + header."""
+    """Full build: triples + Turtle shards + manifests + header.
+    ``include_stats=True`` adds the executed plan's ``ds.stats()`` to
+    the summary (the STATS.md capture hook)."""
     del dedup_buckets
     vocab = vocab or build_vocab_bundle()
     triples = kg_triples_raw(corpus, vocab, linker_concurrency, specs=specs)
@@ -170,6 +173,7 @@ def kg_build(
         dedup=True,
         base_uri=vocab["base_uri"],
         prefixes=vocab["prefixes"],
+        include_stats=include_stats,
     )
 
 

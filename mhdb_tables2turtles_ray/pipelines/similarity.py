@@ -224,15 +224,27 @@ def build_ivf_index(
 def _default_index_dir(sf_dir: str, n_clusters: int, iterations: int) -> str:
     """Deterministic per-(input, params) cache path under /tmp — repeat
     calls REUSE the index (the resumable sink skips finished partitions)
-    instead of accumulating one orphan mkdtemp directory per call.
-    Assumes the input embeddings are immutable for the path's lifetime
-    (true for the read-only testdata this serves)."""
+    instead of accumulating one orphan mkdtemp directory per call. The
+    key includes the embeddings file's mtime+size fingerprint, so
+    regenerated data at the same path gets a FRESH index rather than
+    silently serving stale neighbors; the directory is per-uid so
+    shared-host users don't collide on a world-shared path."""
     import hashlib
     import os
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:12]
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb)
+        fp = f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        fp = "nofile"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}".encode("utf-8")
+    ).hexdigest()[:12]
     return os.path.join(
-        "/tmp", "mhdb_ivf_cache", f"{key}-k{n_clusters}-i{iterations}"
+        "/tmp",
+        f"mhdb_ivf_cache-{os.getuid()}",
+        f"{key}-k{n_clusters}-i{iterations}",
     )
 
 
@@ -290,9 +302,16 @@ def ann_ivf_partitioned(
     mask = _probe_mask(qmat, centroids, nprobe)
     probed_clusters = sorted(np.nonzero(mask.any(axis=0))[0].tolist())
     done = completed_partitions(index_dir, n_clusters, ext=".parquet")
-    paths = [
-        data_path(index_dir, c, ".parquet") for c in probed_clusters if c in done
-    ]
+    missing = [c for c in probed_clusters if c not in done]
+    if missing:
+        # a built index is complete by construction — a probed cluster
+        # failing manifest validation means corruption; silently
+        # skipping it would return degraded top-k with no error
+        raise ValueError(
+            f"IVF index at {index_dir} is missing/corrupt partition "
+            f"file(s) for probed cluster(s) {missing} — rebuild the index"
+        )
+    paths = [data_path(index_dir, c, ".parquet") for c in probed_clusters]
 
     qref = ray.put((qids, qmat, mask))
     partials = ray.data.read_parquet(paths).map_batches(

@@ -87,6 +87,11 @@ def read_turtle_dir(
         )
 
     paths = [data_path(out_dir, p) for p in good]
+    if not paths:
+        # every shard skipped (or an empty dir): honor the documented
+        # skip contract with an empty, well-schema'd Dataset instead of
+        # read_binary_files' unrelated "must provide at least one path"
+        return ray.data.from_arrow(parse_turtle_blocks(""))
     files = ray.data.read_binary_files(paths)
 
     def parse(batch: pa.Table) -> pa.Table:

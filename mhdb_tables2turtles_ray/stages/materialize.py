@@ -208,6 +208,7 @@ def materialize_turtle(
     label: str = "graft-kg",
     comment: str = "Ray-Data-native KG build",
     prefixes: list[tuple[str, str]] | None = None,
+    include_stats: bool = False,
 ) -> dict:
     """Write per-partition Turtle shards + lineage manifests + header.
 
@@ -307,7 +308,7 @@ def materialize_turtle(
     with open(os.path.join(out_dir, "header.ttl"), "w") as f:
         f.write(header)
 
-    return {
+    summary = {
         "out_dir": out_dir,
         "num_partitions": num_partitions,
         "skipped": sorted(done),
@@ -315,7 +316,10 @@ def materialize_turtle(
         "n_triples": int(sum(r["n_triples"] for r in stats)),
         "n_subjects": int(sum(r["n_subjects"] for r in stats)),
         "used_prefixes": sorted(used),
-        # the executed plan's ds.stats() — the observability hook the
-        # shuffle-count / overlap claims in STATS.md are captured from
-        "stats": stats_ds.stats(),
     }
+    if include_stats:
+        # the executed plan's ds.stats() — the observability hook the
+        # shuffle-count / overlap claims in STATS.md are captured from;
+        # opt-in (a multi-KB free-text blob most consumers don't want)
+        summary["stats"] = stats_ds.stats()
+    return summary

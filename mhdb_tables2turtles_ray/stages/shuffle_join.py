@@ -123,13 +123,16 @@ def detect_hot_keys(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df[col].value_counts().head(per_batch_k)
         out = pd.DataFrame({col: vc.index, "n": vc.to_numpy()})
-        # the FIRST row of each partial carries the true batch row count
-        # (a None-key sentinel row would coerce integer key columns to
-        # float64 and corrupt 64-bit keys); an empty batch emits no rows
-        # and contributes exactly 0 to the total
+        # the FIRST row of each partial carries the batch's NON-NULL key
+        # count (a None-key sentinel row would coerce integer key
+        # columns to float64 and corrupt 64-bit keys; counting non-null
+        # keys keeps hot_fraction relative to actual join keys — an
+        # all-null batch emits no rows and correctly contributes 0)
         out["marker_rows"] = 0
         if len(out):
-            out.iloc[0, out.columns.get_loc("marker_rows")] = len(df)
+            out.iloc[0, out.columns.get_loc("marker_rows")] = int(
+                df[col].notna().sum()
+            )
         return out
 
     parts = ds.select_columns([col]).map_batches(
@@ -168,7 +171,15 @@ def auto_join(
     big-⋈-big plan). Results are identical either way (pinned by
     test), mirroring ``stages/semijoin.py``'s exact/Bloom threshold
     switch so the scale-safe choice is the DEFAULT, not an option the
-    caller must remember."""
+    caller must remember. ``right`` is materialized once up front
+    (object-store-backed, spillable) so the count and the subsequent
+    broadcast/shuffle consumption execute its pipeline exactly once."""
+    if how not in ("inner", "left"):
+        # validate HERE, not just in hash_join: the broadcast path's
+        # per-left-batch pandas merge would silently re-emit unmatched
+        # right rows once per batch for right/outer joins
+        raise ValueError(f"unsupported join type: {how!r}")
+    right = right.materialize()
     if right.count() > broadcast_threshold:
         return hash_join(
             left, right, on, left_cols, right_cols,
