@@ -380,6 +380,88 @@ def kmeans_cluster_stats(
     return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def embedding_pca(
+    sf_dir: str, k: int = 16, ds: ray.data.Dataset | None = None
+) -> tuple[np.ndarray, np.ndarray, ray.data.Dataset]:
+    """Distributed PCA over the embedding column — the dimensionality-
+    reduction lever ahead of ANN (smaller vectors → cheaper matmuls and
+    4×-smaller indexes on top of int8 quantization).
+
+    Shape: one streamed pass computes per-batch (sum, X^T X, count)
+    partials — fixed ``dim + dim²`` floats per batch, folded into the
+    running moments under backpressure (never resident per-batch) — the
+    driver eigendecomposes the dim×dim covariance (dim is small by
+    construction; the DATA never leaves the cluster), then a second
+    streamed pass projects every vector onto the top-``k`` components.
+    Deterministic: components are sign-normalized (largest-|loading|
+    coordinate positive), so results are reproducible across block
+    structures. Returns (components (k, dim), explained_variance (k,),
+    projected Dataset (vec_id, embedding: list<float>[k]))."""
+    if ds is None:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = list_column_to_matrix(batch.column("embedding"))
+        return pa.table(
+            {
+                "sum": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "xtx": pa.array(
+                    [(x.T @ x).ravel().tolist()], pa.list_(pa.float64())
+                ),
+                "n": pa.array([len(x)], pa.int64()),
+            }
+        )
+
+    total_sum = None
+    total_xtx = None
+    total_n = 0
+    parts = ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for s, xtx, n in zip(
+            b.column("sum").to_pylist(), b.column("xtx").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            s = np.asarray(s)
+            if total_sum is None:
+                total_sum = s
+                total_xtx = np.asarray(xtx)
+            else:
+                total_sum = total_sum + s
+                total_xtx = total_xtx + np.asarray(xtx)
+            total_n += n
+    if total_n == 0:
+        raise ValueError("embedding_pca: empty input")
+    dim = len(total_sum)
+    mean = total_sum / total_n
+    cov = total_xtx.reshape(dim, dim) / total_n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    components = evecs[:, order].T  # (k, dim)
+    explained = evals[order]
+    # deterministic sign: the largest-|loading| coordinate is positive
+    for i in range(len(components)):
+        j = int(np.argmax(np.abs(components[i])))
+        if components[i, j] < 0:
+            components[i] = -components[i]
+    cref = ray.put((mean, components))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, comp = ray.get(cref)
+        x = list_column_to_matrix(batch.column("embedding"))
+        z = (x - m) @ comp.T
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "embedding": pa.array(z.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    projected = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return components, explained, projected
+
+
 def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
     """(vec_id, scale, qvec: list<int8>) — symmetric per-vector int8
     quantization (scale = max|x| / 127), the memory-side scale lever for

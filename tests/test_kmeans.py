@@ -160,3 +160,40 @@ def test_ivf_index_param_mismatch_fails_loudly(ray_session, tmp_path):
     # matching params load fine
     out = ann_ivf_partitioned(sf, index_dir=idx, n_clusters=16, iterations=2)
     assert out.count() > 0
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """Distributed moments → covariance PCA equals a dense numpy PCA on
+    the collected matrix: same components (sign-normalized), same
+    explained variance, same projections; block structure irrelevant."""
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.functions.numeric import list_column_to_matrix
+    from mhdb_tables2turtles_ray.pipelines.similarity import embedding_pca
+
+    sf = "/root/testdata/sf0.001"
+    comp, ev, projected = embedding_pca(sf, k=4)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    x = list_column_to_matrix(t.column("embedding"))
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    ref_comp = evecs[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(ref_comp[i])))
+        if ref_comp[i, j] < 0:
+            ref_comp[i] = -ref_comp[i]
+    assert np.allclose(ev, evals[order], atol=1e-8)
+    assert np.allclose(comp, ref_comp, atol=1e-6)
+
+    proj = projected.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    z = np.stack(proj["embedding"].to_numpy())
+    ref_ids = t.column("vec_id").to_numpy()
+    ref_z = ((x - mean) @ ref_comp.T)[np.argsort(ref_ids)]
+    assert z.shape == (len(x), 4)
+    assert (proj["vec_id"].to_numpy() == np.sort(ref_ids)).all()
+    assert np.allclose(z, ref_z, atol=1e-6)
+    # variance actually concentrates: eigenvalues descend and are positive
+    assert ev[0] >= ev[1] >= ev[2] >= ev[3] > 0
