@@ -1,0 +1,111 @@
+"""End-to-end training-data curation — the canonical funnel a 100-TB
+text pipeline runs, composed entirely from this engine's streaming
+stages:
+
+    read → ONE fused per-doc pass (token count + language vote, the
+    text.py Arrow kernels) filtering to long-enough in-language docs
+    → exact dedup (digest groupby, smallest-id keeper, thresholded
+    key-filter semi-join back to the docs)
+    → near-dup removal (MinHash-LSH pairs → distributed connected
+    components → anti semi-join — ``dedup_keep_best_lsh``)
+    → surviving doc ids + a per-stage funnel summary.
+
+Every stage streams; the only driver state is the funnel counts and the
+thresholded dedup key filters. The funnel dict is the observability a
+curation run ships to its metrics sink.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min
+
+from ..sources.tables import read_table
+from .text import LANG_MARKERS, _marker_hits
+
+
+def curate_corpus(
+    sf_dir: str | None = None,
+    ds: ray.data.Dataset | None = None,
+    min_tokens: int = 5,
+    langs: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.5,
+    **lsh_kwargs,
+) -> tuple[ray.data.Dataset, dict]:
+    """Returns (surviving (doc_id) Dataset, funnel summary dict with
+    per-stage counts: input → after_quality_lang → after_exact_dedup →
+    after_near_dedup)."""
+    import ray
+
+    from ..stages.semijoin import build_key_filter, semi_join
+    from .dedup import dedup_keep_best_lsh
+
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.materialize()  # counted + consumed by the first stage
+    n_input = ds.count()
+
+    sets = [pa.array(list(LANG_MARKERS[k]), pa.string()) for k in ("en", "de", "fr")]
+    keep_langs = sorted(set(langs))
+
+    def fused_filter(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_tokens = (
+            pc.count_substring_regex(text, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        en, de, fr = _marker_hits(text, sets)
+        lang = np.select(
+            [
+                (en >= de) & (en >= fr) & (en > 0),
+                (de >= fr) & (de > 0),
+                fr > 0,
+            ],
+            ["en", "de", "fr"],
+            default="unknown",
+        )
+        keep = (n_tokens >= min_tokens) & np.isin(lang, keep_langs)
+        return batch.filter(pa.array(keep))
+
+    filtered = ds.map_batches(
+        fused_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed by count + digest + semi-join
+    n_filtered = filtered.count()
+
+    def digest(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text_md5": pa.array(keys)}
+        )
+
+    exact_ids = (
+        filtered.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+    # semi-join the docs back through the thresholded key filter (exact
+    # under the threshold, Bloom above — a Bloom false positive keeps an
+    # extra duplicate, the benign direction for a keep-filter)
+    keys = build_key_filter(exact_ids, "doc_id")
+    exact_docs = semi_join(filtered, "doc_id", ray.put(keys)).materialize()
+    n_exact = exact_docs.count()
+
+    survivors = dedup_keep_best_lsh(
+        ds=exact_docs, threshold=jaccard_threshold, **lsh_kwargs
+    ).materialize()
+    return survivors, {
+        "input": int(n_input),
+        "after_quality_lang": int(n_filtered),
+        "after_exact_dedup": int(n_exact),
+        "after_near_dedup": int(survivors.count()),
+    }
