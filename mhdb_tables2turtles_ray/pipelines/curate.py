@@ -26,7 +26,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from ..sources.tables import read_table
-from .text import LANG_MARKERS, _marker_hits
+from .text import LANG_MARKERS, lang_vote
 
 
 def curate_corpus(
@@ -45,12 +45,24 @@ def curate_corpus(
     from ..stages.semijoin import build_key_filter, semi_join
     from .dedup import dedup_keep_best_lsh
 
+    supported = set(LANG_MARKERS) | {"unknown"}
+    unknown_langs = set(langs) - supported
+    if unknown_langs:
+        # a typo'd or unsupported language would otherwise match nothing
+        # and silently empty the corpus
+        raise ValueError(
+            f"unsupported language(s) {sorted(unknown_langs)} — the vote "
+            f"only ever produces {sorted(supported)}"
+        )
+
     if ds is None:
         ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.materialize()  # counted + consumed by the first stage
+    # count without materializing: for the parquet path this is a
+    # metadata-only answer; a caller-supplied derived Dataset pays one
+    # extra execution, which beats pinning the whole corpus in the
+    # object store just to count it
     n_input = ds.count()
 
-    sets = [pa.array(list(LANG_MARKERS[k]), pa.string()) for k in ("en", "de", "fr")]
     keep_langs = sorted(set(langs))
 
     def fused_filter(batch: pa.Table) -> pa.Table:
@@ -60,16 +72,7 @@ def curate_corpus(
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        en, de, fr = _marker_hits(text, sets)
-        lang = np.select(
-            [
-                (en >= de) & (en >= fr) & (en > 0),
-                (de >= fr) & (de > 0),
-                fr > 0,
-            ],
-            ["en", "de", "fr"],
-            default="unknown",
-        )
+        lang = lang_vote(text)  # the same vote the lang_id query runs
         keep = (n_tokens >= min_tokens) & np.isin(lang, keep_langs)
         return batch.filter(pa.array(keep))
 
@@ -77,6 +80,19 @@ def curate_corpus(
         fused_filter, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # consumed by count + digest + semi-join
     n_filtered = filtered.count()
+    if n_filtered == 0:
+        # everything dropped (e.g. strict thresholds): short-circuit with
+        # an empty survivors Dataset instead of driving the dedup stages
+        # over an empty input
+        empty = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64())})
+        )
+        return empty, {
+            "input": int(n_input),
+            "after_quality_lang": 0,
+            "after_exact_dedup": 0,
+            "after_near_dedup": 0,
+        }
 
     def digest(batch: pa.Table) -> pa.Table:
         keys = [

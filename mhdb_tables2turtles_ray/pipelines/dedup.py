@@ -315,11 +315,11 @@ def minhash_lsh_pairs(
         .map_groups(coarse_candidates, batch_format="pandas")
         .materialize()  # consumed twice (id collect + verify); bounded size
     )
-    # unique() may return a list or a set depending on block lineage —
-    # np.fromiter accepts both
+    # unique() may return a list, a set, or None-on-empty depending on
+    # block lineage — np.fromiter + `or ()` covers all three
     cand_ids = np.union1d(
-        np.fromiter(candidates.unique("doc_a"), dtype=np.int64),
-        np.fromiter(candidates.unique("doc_b"), dtype=np.int64),
+        np.fromiter(candidates.unique("doc_a") or (), dtype=np.int64),
+        np.fromiter(candidates.unique("doc_b") or (), dtype=np.int64),
     )
     if cand_ids.size == 0:
         return ray.data.from_arrow(
@@ -875,7 +875,9 @@ def incremental_exact_dedup(
             d = read_partitioned_parquet(os.path.join(index_dir, g), num_partitions)
             idx_ds = d if idx_ds is None else idx_ds.union(d)
         n = idx_ds.count()
-        if exact_threshold is None or n <= exact_threshold:
+        if n == 0:
+            seen_filter = None  # empty index (unique() would return None)
+        elif exact_threshold is None or n <= exact_threshold:
             # exact path: distinct digests as one Arrow string array,
             # broadcast once, probed with a vectorized pc.is_in
             seen_filter = pa.array(
@@ -1113,6 +1115,7 @@ def incremental_minhash_dedup(
                     cand.map_batches(
                         verify, batch_format="pyarrow", zero_copy_batch=True
                     ).unique("doc_id")
+                    or ()  # unique() → None when no candidate verified
                 )
 
     dup_ref = ray.put(np.fromiter(dup_ids, dtype=np.int64))

@@ -209,15 +209,25 @@ def build_ivf_index(
         {"kind": "ivf_clustered", "n_clusters": n_clusters, "iterations": iterations},
     )
     base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    centroids = kmeans_fit(base, k=n_clusters, iterations=iterations)
+    centroid_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(centroid_path):
+        # resume path: a crashed build continues under the SAME
+        # centroids — refitting here could assign boundary vectors
+        # differently (float partial-fold order) and mix partitions
+        # from two assignments
+        centroids = np.load(centroid_path)
+    else:
+        centroids = kmeans_fit(base, k=n_clusters, iterations=iterations)
+        # persist BEFORE any partition write (atomic), so every
+        # partition this index ever holds was assigned under one fit
+        tmp = os.path.join(index_dir, f".centroids.tmp.{os.getpid()}")
+        with open(tmp, "wb") as f:
+            np.save(f, centroids)
+        os.replace(tmp, centroid_path)
     assigned = kmeans_assign(base, centroids)
     write_partitioned_parquet(
         assigned, index_dir, "cluster", num_partitions=n_clusters, identity_key=True
     )
-    tmp = os.path.join(index_dir, f".centroids.tmp.{os.getpid()}")
-    with open(tmp, "wb") as f:
-        np.save(f, centroids)
-    os.replace(tmp, os.path.join(index_dir, "centroids.npy"))
     return centroids
 
 
@@ -260,6 +270,8 @@ def _load_or_build_index(
 
     from .dedup import _index_meta
 
+    from ..state.manifest import completed_partitions
+
     centroid_path = os.path.join(index_dir, "centroids.npy")
     if os.path.exists(centroid_path):
         _index_meta(
@@ -270,7 +282,11 @@ def _load_or_build_index(
                 "iterations": iterations,
             },
         )
-        return np.load(centroid_path)
+        done = completed_partitions(index_dir, n_clusters, ext=".parquet")
+        if len(done) == n_clusters:
+            return np.load(centroid_path)
+        # interrupted build: fall through — build_ivf_index reuses the
+        # persisted centroids and writes only the missing partitions
     return build_ivf_index(sf_dir, index_dir, n_clusters, iterations)
 
 

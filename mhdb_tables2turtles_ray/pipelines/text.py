@@ -102,24 +102,33 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def lang_id(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, predicted_lang) — stopword-marker heuristic with the
-    deterministic en > de > fr priority tie-break; zero hits → 'unknown'.
-    Vectorized: one split, one is_in+bincount per language, numpy selects."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+def lang_vote(text_col) -> np.ndarray:
+    """Per-row language label ('en'/'de'/'fr'/'unknown') — the SINGLE
+    home of the marker-vote rule (deterministic en > de > fr priority
+    tie-break, zero hits → 'unknown'), shared by :func:`lang_id` and
+    ``pipelines/curate.py`` so the vote can never silently diverge
+    between the registry query and the curation filter."""
     sets = [pa.array(list(LANG_MARKERS[k]), pa.string()) for k in ("en", "de", "fr")]
+    en, de, fr = _marker_hits(text_col, sets)
+    return np.select(
+        [
+            (en >= de) & (en >= fr) & (en > 0),
+            (de >= fr) & (de > 0),
+            fr > 0,
+        ],
+        ["en", "de", "fr"],
+        default="unknown",
+    )
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, predicted_lang) — stopword-marker heuristic language ID
+    (:func:`lang_vote`). Vectorized: one split, one is_in+bincount per
+    language, numpy selects."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def predict(batch: pa.Table) -> pa.Table:
-        en, de, fr = _marker_hits(batch.column("text"), sets)
-        out = np.select(
-            [
-                (en >= de) & (en >= fr) & (en > 0),
-                (de >= fr) & (de > 0),
-                fr > 0,
-            ],
-            ["en", "de", "fr"],
-            default="unknown",
-        )
+        out = lang_vote(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -49,4 +49,4 @@ def used_prefixes(triples) -> list[str]:
     ds = triples.map_batches(
         _batch_prefixes, batch_format="pyarrow", zero_copy_batch=True
     )
-    return sorted(ds.unique("prefix"))
+    return sorted(ds.unique("prefix") or ())  # unique() → None on empty

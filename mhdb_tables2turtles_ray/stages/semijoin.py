@@ -67,6 +67,10 @@ def build_key_filter(
     Pass ``exact_threshold=None`` to force the exact path (anti joins).
     """
     n = keys_ds.count()
+    if n == 0:
+        # Dataset.unique() returns None (not an empty list) on an empty
+        # dataset — an empty exact key set is the correct filter here
+        return np.empty(0, dtype=np.int64)
     if exact_threshold is None or n <= exact_threshold:
         return np.unique(
             np.fromiter(keys_ds.unique(column), dtype=np.int64, count=-1)

@@ -112,11 +112,13 @@ def detect_hot_keys(
     """Approximate heavy hitters of ``ds[col]`` — the keys a bucket
     shuffle must salt. Per-batch top-``per_batch_k`` value counts are
     the partials (tiny, fixed-size rows — a full groupby(count) would
-    shuffle every key), merged on the driver; keys whose merged count
-    exceeds ``hot_fraction`` of the total rows are hot. Approximate in
-    the standard space-saving sense: a key spread thinly below every
-    batch's top-k can be missed, but any key holding ≥ hot_fraction of
-    a batch's rows at shuffle-breaking skew levels cannot hide."""
+    shuffle every key), merged by a Ray groupby; keys whose merged
+    count exceeds ``hot_fraction`` of the NON-NULL key rows are hot
+    (null keys don't join, so they don't dilute the threshold).
+    Approximate in the standard space-saving sense: a key spread thinly
+    below every batch's top-k can be missed, but any key holding ≥
+    hot_fraction of a batch's rows at shuffle-breaking skew levels
+    cannot hide."""
     import pandas as pd
     from ray.data.aggregate import Sum
 

@@ -50,3 +50,48 @@ def test_curate_corpus_language_filter(ray_session):
     _, en_only = curate_corpus(sf, langs=("en",))
     assert en_only["after_quality_lang"] <= all_langs["after_quality_lang"]
     assert en_only["after_near_dedup"] <= all_langs["after_near_dedup"]
+
+
+def test_curate_corpus_empty_and_invalid_langs(ray_session):
+    """A filter that drops everything returns an empty survivors Dataset
+    with a zeroed funnel (no crash through the dedup stages); an
+    unsupported language raises instead of silently emptying the corpus."""
+    import pytest
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    survivors, funnel = curate_corpus(sf, min_tokens=10**9)
+    assert survivors.take_all() == []
+    assert funnel["after_quality_lang"] == 0 == funnel["after_near_dedup"]
+    assert funnel["input"] > 0
+
+    with pytest.raises(ValueError, match="unsupported language"):
+        curate_corpus(sf, langs=("es",))
+
+
+def test_dedup_keep_best_lsh_no_pairs(ray_session):
+    """A corpus with zero LSH candidate pairs passes through whole
+    (Dataset.unique's None-on-empty mode must not crash the chain)."""
+    import pyarrow as pa
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.dedup import dedup_keep_best_lsh
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta epsilon",
+                        "zeta eta theta iota kappa",
+                        "completely different words here now",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = {r["doc_id"] for r in dedup_keep_best_lsh(ds=docs).take_all()}
+    assert out == {1, 2, 3}
