@@ -186,6 +186,8 @@ def minhash_lsh_pairs(
     concurrency=(1, 8),
     carry_sig: bool = False,
     ds: ray.data.Dataset | None = None,
+    auto_switch_min: int = 100_000,
+    auto_switch_frac: float = 0.5,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -216,6 +218,16 @@ def minhash_lsh_pairs(
         shuffled at the defaults). One corpus pass, no candidate-id
         broadcast — the fallback when candidates are NOT sparse (a
         dup-saturated corpus would blow the candidate broadcast).
+
+    The two-pass path AUTO-SWITCHES to single-pass when the candidate
+    regime turns out saturated (the ``auto_join`` count-then-choose
+    pattern, stages/shuffle_join.py): after the bucket pass, if
+    ≥ ``auto_switch_min`` distinct docs are candidates AND they exceed
+    ``auto_switch_frac`` of the corpus, the broadcast-signature verify
+    would ship a near-corpus-sized block to every task — re-run in
+    ``carry_sig=True`` shape instead (one extra band pass, bounded
+    shuffle). The decision is logged; results are identical either way
+    (pinned by test).
     """
     if ds is None:
         ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -331,6 +343,34 @@ def minhash_lsh_pairs(
                 }
             )
         )
+    if cand_ids.size >= auto_switch_min:
+        # Saturated-regime check only once the absolute floor is hit
+        # (corpus count is free for a parquet read, one execution for a
+        # passed-in ds — worth it only when a big broadcast looms).
+        corpus_n = ds.count()
+        if cand_ids.size > auto_switch_frac * corpus_n:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh: candidate regime saturated (%d candidate "
+                "docs / %d corpus > frac=%.2f) — switching to the "
+                "single-pass carry_sig shape instead of broadcasting "
+                "the candidate signature block",
+                cand_ids.size,
+                corpus_n,
+                auto_switch_frac,
+            )
+            return minhash_lsh_pairs(
+                sf_dir,
+                num_perm=num_perm,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=threshold,
+                max_bucket=max_bucket,
+                concurrency=concurrency,
+                carry_sig=True,
+                ds=ds,
+            )
     ids_ref = ray.put(cand_ids)
     sig_rows = (
         ds.map_batches(

@@ -654,14 +654,16 @@ def ann_ivf(
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
 
     qids, qmat = _query_block(sf_dir, num_queries)
-    probe = {}  # label -> query indices probing it
+    # dense (n_query, n_labels) probe mask aligned with the sorted label
+    # array: the partial below does one boolean fancy-index per query
+    # (searchsorted label→column) instead of a per-row Python membership
+    # test — the same vectorized shape as _probed_partial_fn.
     sims_qc = qmat @ cmat.T
+    probe_mask = np.zeros((len(qids), len(labels)), dtype=bool)
     for qi in range(len(qids)):
-        top = np.argsort(-sims_qc[qi])[:nprobe]
-        for t in top:
-            probe.setdefault(int(labels[t]), []).append(qi)
+        probe_mask[qi, np.argsort(-sims_qc[qi])[:nprobe]] = True
 
-    probed_labels = sorted(probe)
+    probed_labels = sorted(labels[probe_mask.any(axis=0)].tolist())
     import pyarrow.compute as pc
 
     ds = read_table(
@@ -672,19 +674,22 @@ def ann_ivf(
         zero_copy_batch=True,
     )
 
-    qref = ray.put((qids, qmat, {lab: set(qis) for lab, qis in probe.items()}))
+    qref = ray.put((qids, qmat, labels, probe_mask))
 
     def partial(batch: pa.Table) -> pa.Table:
-        ids_q, mat_q, probe_map = ray.get(qref)
+        ids_q, mat_q, all_labels, mask = ray.get(qref)
         vids = batch.column("vec_id").to_numpy()
-        labs = batch.column("label").to_numpy()
+        labs = batch.column("label").to_numpy().astype(np.int64)
         emb = list_column_to_matrix(batch.column("embedding"))
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         cos = mat_q @ emb.T
+        # all_labels is sorted (np.unique order upstream), and the
+        # pre-filter guarantees every lab is present — searchsorted maps
+        # each row to its mask column in one vectorized pass.
+        lab_idx = np.searchsorted(all_labels, labs)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids_q)):
-            allowed = np.array([la in probe_map and qi in probe_map[la] for la in labs])
-            allowed &= vids != ids_q[qi]
+            allowed = mask[qi, lab_idx] & (vids != ids_q[qi])
             cand = np.nonzero(allowed)[0]
             if len(cand) == 0:
                 continue

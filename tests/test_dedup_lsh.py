@@ -367,3 +367,43 @@ def test_dedup_keep_best_lsh_scale_composition(ray_session):
     )
     expected_dropped = {n for n, r in roots.items() if r != n}
     assert survivors == all_ids - expected_dropped
+
+
+def test_auto_switch_on_saturated_candidates(ray_session, caplog):
+    """A dup-saturated corpus must trip the two-pass → single-pass
+    auto-switch (count-then-choose): with the switch floor lowered, the
+    same call yields IDENTICAL pairs to both forced shapes, and the
+    decision is logged (no silent regime change)."""
+    import logging
+
+    import pyarrow as pa
+    import ray
+
+    # 60 docs in 12 near-dup families of 5 → most docs are candidates
+    texts, ids = [], []
+    for fam in range(12):
+        base = (
+            f"family {fam} shares a long common body of text that "
+            f"minhash shingles will hash identically across variants"
+        )
+        for v in range(5):
+            ids.append(fam * 5 + v)
+            texts.append(base + (f" tail{v}" if v else ""))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+
+    kw = dict(num_perm=32, bands=8, threshold=0.5)
+    forced_single = _pairs(minhash_lsh_pairs(ds=ds, carry_sig=True, **kw))
+    forced_two = _pairs(
+        minhash_lsh_pairs(ds=ds, carry_sig=False, auto_switch_min=10**9, **kw)
+    )
+    with caplog.at_level(logging.WARNING, "mhdb_tables2turtles_ray.pipelines.dedup"):
+        auto = _pairs(
+            minhash_lsh_pairs(
+                ds=ds, carry_sig=False, auto_switch_min=1, auto_switch_frac=0.5, **kw
+            )
+        )
+    assert forced_single == forced_two == auto
+    assert len(auto) > 0
+    assert any("switching to the single-pass" in r.message for r in caplog.records)

@@ -67,6 +67,53 @@ def test_ann_ivf_kmeans_runs(ray_session):
     assert recall > 0.2, recall  # approximate by construction; sanity bound
 
 
+def test_ann_ivf_matches_dense_reference(ray_session):
+    """The legacy label-partition IVF variant must return exactly what a
+    dense numpy reference computes (per-label mean centroids → top-nprobe
+    probed labels per query → brute-force top-k within the probed rows).
+    Pins the vectorized probe-mask rewrite (searchsorted label lookup)
+    to the declared semantics."""
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.functions.numeric import round_half_away
+    from mhdb_tables2turtles_ray.pipelines.similarity import ann_ivf
+
+    sf = "/root/testdata/sf0.001"
+    k, num_queries, nprobe = 5, 8, 2
+    tab = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    vids = tab.column("vec_id").to_numpy()
+    labs = tab.column("label").to_numpy().astype(np.int64)
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in tab.column("embedding").to_pylist()])
+    emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+    labels = np.unique(labs)
+    cmat = np.stack([emb[labs == la].mean(axis=0) for la in labels])
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    q_sel = vids < num_queries
+    qids, qmat = vids[q_sel], emb_n[q_sel]
+    sims_qc = qmat @ cmat.T
+
+    expected = []
+    for qi in range(len(qids)):
+        probed = set(labels[np.argsort(-sims_qc[qi])[:nprobe]].tolist())
+        allowed = np.array([la in probed for la in labs]) & (vids != qids[qi])
+        cand = np.nonzero(allowed)[0]
+        cos = qmat[qi] @ emb_n.T
+        order = cand[np.lexsort((vids[cand], -cos[cand]))][:k]
+        for rank, i in enumerate(order, 1):
+            expected.append(
+                (int(qids[qi]), int(vids[i]), rank, float(round_half_away(np.array([cos[i]]), 6)[0]))
+            )
+
+    got = ann_ivf(sf, k=k, num_queries=num_queries, nprobe=nprobe).to_pandas()
+    got_rows = sorted(
+        (int(r.query_id), int(r.neighbor_id), int(r.rank), float(r.cosine))
+        for r in got.itertuples()
+    )
+    assert got_rows == sorted(expected)
+
+
 def test_ann_ivf_partitioned_matches_kmeans_and_prunes_io(ray_session, tmp_path):
     """The I/O-pruned variant over cluster-partitioned storage must
     return EXACTLY ann_ivf_kmeans's rows (same deterministic fit → same
