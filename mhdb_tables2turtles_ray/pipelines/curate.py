@@ -66,7 +66,9 @@ def curate_corpus(
     keep_langs = sorted(set(langs))
 
     def fused_filter(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
+        # null text counts as 0 tokens BY RULE (dropped below min_tokens),
+        # not via an undefined NaN→int cast: coalesce before counting
+        text = pc.coalesce(batch.column("text"), pa.scalar("", pa.string()))
         n_tokens = (
             pc.count_substring_regex(text, r"\S+")
             .to_numpy(zero_copy_only=False)

@@ -635,6 +635,32 @@ def _union_find_roots(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+def _anti_join_non_roots(
+    ds: ray.data.Dataset, comp: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Corpus minus every component's non-representative members, fully
+    streamed: non-root (node != component) ids → thresholded exact key
+    filter → anti semi-join. No component collection on the driver
+    (build_key_filter streams its merge). The ONE removal path shared
+    by ``dedup_keep_best(method="distributed")`` and
+    :func:`dedup_keep_best_lsh`."""
+    import ray
+
+    from ..stages.semijoin import build_key_filter, semi_join
+
+    def non_roots(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("node"), t.column("component"))
+        return pa.table({"doc_id": t.filter(keep).column("node")})
+
+    dropped = comp.map_batches(
+        non_roots, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keys = build_key_filter(dropped, "doc_id", exact_threshold=None)  # anti → exact
+    return semi_join(
+        ds.select_columns(["doc_id"]), "doc_id", ray.put(keys), anti=True
+    )
+
+
 def dedup_keep_best(
     sf_dir: str,
     max_doc_id: int = 300,
@@ -653,10 +679,12 @@ def dedup_keep_best(
     regime) → driver union-find → broadcast drop set → one streamed
     membership filter. ``method="distributed"``: components come from
     ``stages/cc.py:connected_components`` (iterative min-label
-    propagation — pairs and labels never touch the driver), the scale
-    path when the pair graph itself is big; identical survivors
-    (pinned by test). Either way the corpus is never collected, and the
-    pair source swaps to :func:`minhash_lsh_pairs` unchanged."""
+    propagation — pairs and labels never touch the driver) and the
+    removal rides the SAME streamed anti-join path as
+    :func:`dedup_keep_best_lsh` (``_anti_join_non_roots``: no component
+    collection on the driver); identical survivors (pinned by test).
+    Either way the corpus is never collected, and the pair source swaps
+    to :func:`minhash_lsh_pairs` unchanged."""
     import ray
 
     pair_ds = jaccard_pairs_subset(sf_dir, max_doc_id, threshold)
@@ -664,20 +692,9 @@ def dedup_keep_best(
         from ..stages.cc import connected_components
 
         comp = connected_components(pair_ds, max_iters=cc_max_iters)
-        # dropped = every clustered node that is not its component min
-        dropped = np.sort(
-            np.array(
-                [
-                    r["node"]
-                    for r in comp.take_all()
-                    if r["node"] != r["component"]
-                ],
-                dtype=np.int64,
-            )
+        return _anti_join_non_roots(
+            read_table(sf_dir, "documents", columns=["doc_id"]), comp
         )
-        # (collecting (node, component) is bounded by the CLUSTERED doc
-        # count, not the corpus; a fully-streamed variant would semi-join
-        # the corpus against comp via stages/semijoin.py)
     elif method == "driver":
         pairs = [(r["doc_a"], r["doc_b"]) for r in pair_ds.take_all()]
         roots = _union_find_roots(pairs)
@@ -719,10 +736,7 @@ def dedup_keep_best_lsh(
     stays oracle-checkable via exact Jaccard on a bounded subset).
     Survivors = each near-dup cluster's smallest doc_id + every
     unclustered doc."""
-    import ray
-
     from ..stages.cc import connected_components
-    from ..stages.semijoin import build_key_filter, semi_join
 
     if ds is None:
         ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -731,18 +745,7 @@ def dedup_keep_best_lsh(
     # diameter) — exposed so a deep near-dup chain is actionable from
     # the caller instead of a dead-end RuntimeError
     comp = connected_components(pairs, max_iters=cc_max_iters)
-
-    def non_roots(t: pa.Table) -> pa.Table:
-        keep = pc.not_equal(t.column("node"), t.column("component"))
-        return pa.table({"doc_id": t.filter(keep).column("node")})
-
-    dropped = comp.map_batches(
-        non_roots, batch_format="pyarrow", zero_copy_batch=True
-    )
-    keys = build_key_filter(dropped, "doc_id", exact_threshold=None)  # anti → exact
-    return semi_join(
-        ds.select_columns(["doc_id"]), "doc_id", ray.put(keys), anti=True
-    )
+    return _anti_join_non_roots(ds, comp)
 
 
 def embedding_near_dup(
@@ -800,18 +803,31 @@ def _index_meta(index_dir: str, expected: dict) -> dict:
     shape) stay CONSTANT across every increment — a later call with a
     different ``num_partitions`` would compute wrong partition ids and
     the existence-filtered reads would silently skip "missing" files,
-    leaking indexed duplicates. First call for an index writes
-    ``expected`` (atomic tmp+rename); every later call validates each
-    expected key against the stored value and FAILS LOUDLY on mismatch.
+    leaking indexed duplicates. The first call CLAIMS creation with
+    ``O_CREAT|O_EXCL`` (exactly one winner — no TOCTOU window where two
+    concurrent first-increments with different params both think they
+    created the index); a concurrent loser falls through to the
+    validate path, which FAILS LOUDLY on any structural mismatch.
     """
     import json
     import os
+    import time
 
     os.makedirs(index_dir, exist_ok=True)
     path = os.path.join(index_dir, "_index_meta.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            stored = json.load(f)
+
+    def validate() -> dict:
+        # brief retry: a concurrent winner may have claimed the file but
+        # not finished the (single small) JSON write yet
+        for attempt in range(3):
+            try:
+                with open(path) as f:
+                    stored = json.load(f)
+                break
+            except (json.JSONDecodeError, ValueError):
+                if attempt == 2:
+                    raise
+                time.sleep(0.05)
         mismatch = {
             k: (stored.get(k), v)
             for k, v in expected.items()
@@ -829,10 +845,19 @@ def _index_meta(index_dir: str, expected: dict) -> dict:
                 f"(see {path})"
             )
         return stored
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(expected, f, indent=1, sort_keys=True)
-    os.rename(tmp, path)
+
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return validate()
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(expected, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+    except BaseException:
+        os.unlink(path)  # don't leave a half-written claim behind
+        raise
     return expected
 
 

@@ -139,16 +139,23 @@ def oracle_sql() -> dict[str, str]:
         # sf0.001 pin is re-derived from the reference oracle inside
         # the test suite every run (test_kg_pipeline.py), so the
         # constants cannot drift unnoticed.
+        # The ELSE branches are loud sentinels: at any scale whose
+        # count(events) is not pinned, the oracle yields
+        # (-1, 'UNPINNED_SCALE:<n>') — an explicit, diagnosable mismatch
+        # against the engine's real values instead of NULL-vs-NULL luck.
+        # Append pins for a new scale with tools/pin_flagship.py.
         "kg_flagship_summary": """
             SELECT CASE (SELECT count(*) FROM events)
                      WHEN 1000 THEN CAST(4021 AS BIGINT)
                      WHEN 10000 THEN CAST(4021 AS BIGINT)
                      WHEN 100000 THEN CAST(31435 AS BIGINT)
+                     ELSE CAST(-1 AS BIGINT)
                    END AS n_triples,
                    CASE (SELECT count(*) FROM events)
                      WHEN 1000 THEN 'd9baeb624a342087'
                      WHEN 10000 THEN 'e1d9ec341ffee62e'
                      WHEN 100000 THEN 'd2fc4939dd674afc'
+                     ELSE 'UNPINNED_SCALE:' || (SELECT count(*) FROM events)
                    END AS content_hash
         """,
         "kg_reified_triples": f"""

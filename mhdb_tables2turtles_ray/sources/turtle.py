@@ -29,6 +29,10 @@ def parse_turtle_blocks(text: str) -> pa.Table:
     preds: list[str] = []
     objs: list[str] = []
     for block in text.split("\n\n"):
+        # tolerate trailing newlines an external tool (editor, POSIX-text
+        # append) may have added after the final block — the writer
+        # itself emits none
+        block = block.rstrip("\n")
         if not block.strip():
             continue
         if not block.endswith(" ."):

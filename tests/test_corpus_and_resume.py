@@ -141,3 +141,15 @@ def test_read_turtle_dir_round_trip(ray_session, tmp_path):
         read_turtle_dir(out, strict=True)
     with pytest.raises(ValueError, match="manifest validation"):
         read_turtle_dir(out, num_partitions=6, strict=True)
+
+
+def test_parse_turtle_blocks_tolerates_trailing_newline():
+    """A POSIX-text tool appending a final newline must not make the last
+    block 'malformed' — the parser strips trailing newlines per block."""
+    from mhdb_tables2turtles_ray.sources.turtle import parse_turtle_blocks
+
+    text = ":s1 :p1 :o1 .\n\n:s2 :p2 :o2 ."
+    base = parse_turtle_blocks(text)
+    with_nl = parse_turtle_blocks(text + "\n")
+    assert base.equals(with_nl)
+    assert base.num_rows == 2

@@ -95,3 +95,26 @@ def test_dedup_keep_best_lsh_no_pairs(ray_session):
     )
     out = {r["doc_id"] for r in dedup_keep_best_lsh(ds=docs).take_all()}
     assert out == {1, 2, 3}
+
+
+def test_curate_null_text_dropped_deterministically(ray_session):
+    """A null text row counts as 0 tokens by explicit rule (coalesce
+    before counting), so it is dropped — not left to an undefined
+    NaN→int64 cast."""
+    import pyarrow as pa
+    import ray
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    texts = ["the quick brown fox jumps over the lazy dog again and again"] + [None]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    survivors, summary = curate_corpus(ds=ds, min_tokens=5, langs=["en"])
+    assert {r["doc_id"] for r in survivors.take_all()} == {1}
+    assert summary["after_quality_lang"] == 1

@@ -246,3 +246,18 @@ def test_turtle_render_matches_reference_format(ray_session):
         }
     )
     assert ours == expected
+
+
+def test_flagship_oracle_unpinned_scale_is_loud():
+    """At a scale whose count(events) has no pin, the flagship oracle
+    must yield the explicit (-1, 'UNPINNED_SCALE:<n>') sentinel — a
+    diagnosable gate failure, not a NULL-vs-NULL comparison."""
+    import duckdb
+
+    from mhdb_tables2turtles_ray.pipelines.registry import oracle_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM range(777) t(i)")
+    n, h = con.execute(oracle_sql()["kg_flagship_summary"]).fetchone()
+    assert n == -1
+    assert h == "UNPINNED_SCALE:777"

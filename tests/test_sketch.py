@@ -36,3 +36,20 @@ def test_approx_distinct_dataset(ray_session):
     ds = ray.data.from_items([{"u": i % 500} for i in range(20_000)]).repartition(8)
     est = approx_distinct(ds, "u", p=12)
     assert abs(est - 500) / 500 < 0.05, est
+
+
+def test_approx_distinct_users_exact_side(ray_session):
+    """The monitoring query's exact comparison column must equal the true
+    distinct user count (now computed via the two-level distinct shape,
+    never a driver-side unique() of the raw column)."""
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.pipelines.relational import approx_distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    truth = len(
+        set(pq.read_table(f"{sf}/events.parquet", columns=["user_id"]).column("user_id").to_pylist())
+    )
+    row = approx_distinct_users(sf).take_all()[0]
+    assert row["exact_distinct"] == truth
+    assert abs(row["approx_distinct"] - truth) / truth < 0.05
