@@ -59,6 +59,7 @@ def run_benchmarks() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    from mhdb_tables2turtles_ray.pipelines import curate as cu
     from mhdb_tables2turtles_ray.pipelines import dedup as dd
     from mhdb_tables2turtles_ray.pipelines import kg
     from mhdb_tables2turtles_ray.pipelines import kg_queries as kq
@@ -134,6 +135,9 @@ def run_benchmarks() -> dict:
     bench("mm_media_meta", mm.media_meta)
     bench("ann_ivf_partitioned", sim.ann_ivf_partitioned)
     bench("rel_value_median_by_type", rel.value_median_by_type)
+    # end-to-end curation funnel (quality+lang filter → exact dedup →
+    # LSH near-dup removal); _consume drives the survivors Dataset
+    bench("curate_corpus", lambda sf: cu.curate_corpus(sf)[0])
 
     return {
         "metric": "kg_build_wall_sec",

@@ -58,4 +58,16 @@ ds.to_pandas()
 print("# ann_ivf_partitioned probe (nprobe=2):")
 print(ds.stats()[:2000])
 
+# --- curate_corpus funnel (round 4): survivors-stage stats + counts ---
+from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus  # noqa: E402
+
+t0 = time.time()
+survivors, funnel = curate_corpus(SF)
+n = survivors.count()
+print(
+    f"# curate_corpus wall={time.time() - t0:.2f}s survivors={n} "
+    f"funnel={funnel}"
+)
+print(survivors.stats()[:3000])
+
 ray.shutdown()
