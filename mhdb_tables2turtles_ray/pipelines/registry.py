@@ -12,13 +12,16 @@ from typing import Any
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: every SQL-oracled query comes
-    FIRST (46 of them), rows-only monitoring queries LAST (4) — the
+    FIRST (47 of them), rows-only monitoring queries LAST (3) — the
     driver's correctness gate samples the registry in order (observed
     cap ~50 in round 2, which silently skipped the last 5 oracled
     queries), so this ordering + the consolidation of monitoring
     queries (ann variants incl. kmeans stats, sketch pairs, merged
     multimodal meta) guarantees every exactly-checkable operator is
-    driver-gated. Total stays at exactly 50."""
+    driver-gated. Total stays at exactly 50 (round 4 swapped the
+    rows-only ``rel_approx_distinct_users`` — HLL still fully covered
+    by ``tests/test_sketch.py`` — for the oracled
+    ``text_decontaminate``)."""
     from mhdb_tables2turtles_ray.pipelines import dedup as dd
     from mhdb_tables2turtles_ray.pipelines import kg_queries as kq
     from mhdb_tables2turtles_ray.pipelines import multimodal as mm
@@ -56,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii_scrub": tx.pii_scrub,
         "text_top_tokens": tx.top_tokens,
         "text_length_histogram": tx.length_histogram,
+        "text_decontaminate": tx.decontaminate,  # train/test n-gram leak check
         # --- multimodal plumbing (decode + frame-sample + resize in one
         # decode pass, all columns oracled) ---
         "mm_payload_meta": mm.media_meta,
@@ -87,7 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_variants": sim.ann_variants,  # ivf / ivf_kmeans /
         # ivf_partitioned / quantized / kmeans_stats
         "text_winnow": tx.winnow_fingerprints,  # rolling-hash winnowing
-        "rel_approx_distinct_users": rel.approx_distinct_users,  # HLL sketch
     }
 
 
@@ -393,6 +396,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(length(text) / 100.0) AS BIGINT) AS bucket,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        # train/test decontamination: train docs (doc_id % 10 <> 0)
+        # sharing >= 1 lowercased whitespace 5-gram with the test slice
+        # (doc_id % 10 = 0); n_hits = contaminated gram positions.
+        # DuckDB list slice l[a:b] is 1-based inclusive: ts[i:i+4] is the
+        # 5-token window at i; range(1, len-3) enumerates the L-4 starts.
+        "text_decontaminate": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\S+') AS ts
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, len(ts) - 3),
+                       i -> array_to_string(ts[i:i+4], ' ')
+                     ) AS gs
+              FROM tok
+            ),
+            test_g AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 = 0
+            ),
+            train_g AS (
+              SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 10 <> 0
+            )
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM train_g t JOIN test_g ON t.g = test_g.g
+            GROUP BY t.doc_id
         """,
         # decode + frame-stream sampling + bounded-box resize metadata,
         # all from one decode pass (pipelines/multimodal.py:media_meta)

@@ -1,10 +1,11 @@
 """Text-analysis operators over the ``documents`` table.
 
 Large-scale training-data pipeline staples: token counting, quality
-scoring, language identification, document fingerprinting. All are
-single-pass ``map_batches`` stages — no shuffle, fully streaming — with
-vectorized pyarrow/numpy kernels where the kernel exists and tight
-per-batch Python only for the set-membership scoring.
+scoring, language identification, document fingerprinting, train/test
+decontamination. All are single-pass ``map_batches`` stages — no
+shuffle, fully streaming — with vectorized pyarrow/numpy kernels where
+the kernel exists and tight per-batch Python only for the
+set-membership scoring.
 """
 
 from __future__ import annotations
@@ -287,6 +288,95 @@ def length_histogram(sf_dir: str, bucket_chars: int = 100) -> ray.data.Dataset:
 
 _WINNOW_MOD = (1 << 61) - 1
 _WINNOW_BASE = 257
+
+
+def _batch_grams(text_col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All whitespace-token ``n``-grams of every row, vectorized.
+
+    Returns (row_index, gram) ndarrays: one Arrow lower+split pass,
+    empty tokens dropped (so splitting matches DuckDB's
+    ``regexp_extract_all('\\S+')`` exactly), then numpy shifted-window
+    concatenation — no per-row Python. Grams never cross row boundaries
+    (window positions whose start and end map to different parent rows
+    are masked out)."""
+    lowered = pc.utf8_lower(pc.coalesce(text_col, pa.scalar("", pa.string())))
+    toks = pc.split_pattern_regex(lowered, r"\s+")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(toks).to_numpy()
+    keep = flat != ""
+    flat, parents = flat[keep].astype(str), parents[keep]
+    L = len(flat)
+    if L < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=str)
+    valid = parents[: L - n + 1] == parents[n - 1 :]
+    grams = flat[: L - n + 1]
+    for j in range(1, n):
+        grams = np.char.add(np.char.add(grams, " "), flat[j : L - n + 1 + j])
+    return parents[: L - n + 1][valid].astype(np.int64), grams[valid]
+
+
+def decontaminate(
+    sf_dir: str | None = None,
+    n: int = 5,
+    test_mod: int = 10,
+    ds: ray.data.Dataset | None = None,
+    exact_threshold: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Train/test decontamination — the benchmark-leakage staple of a
+    training-data pipeline, distinct from near-dup dedup (cross-SET
+    containment at n-gram granularity, not within-set similarity).
+
+    The TEST slice is ``doc_id % test_mod == 0``; everything else is
+    TRAIN. Output (doc_id, n_hits): every train doc sharing at least one
+    lowercased whitespace-token ``n``-gram with the test slice, with the
+    count of contaminated gram positions.
+
+    Scale shape: the test side is the SMALL side by construction — its
+    distinct grams build a broadcast key filter
+    (``stages/semijoin.py:build_string_key_filter``: exact sorted
+    strings under ``exact_threshold`` — the zero-false-positive,
+    oracle-checkable representation — hashed Bloom partials streamed
+    above it), and the train corpus streams through one vectorized
+    membership pass. No shuffle touches the corpus."""
+    import ray
+
+    from ..stages.semijoin import build_string_key_filter, string_filter_contains
+
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def test_grams(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(dids % test_mod == 0))
+        _, grams = _batch_grams(sub.column("text"), n)
+        # per-batch dedup pre-shrinks what the filter build consumes
+        return pa.table({"gram": pa.array(np.unique(grams).tolist(), pa.string())})
+
+    gram_ds = ds.map_batches(
+        test_grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keys_ref = ray.put(
+        build_string_key_filter(gram_ds, "gram", exact_threshold=exact_threshold)
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(dids % test_mod != 0))
+        sub_ids = sub.column("doc_id").to_numpy()
+        idx, grams = _batch_grams(sub.column("text"), n)
+        hit = string_filter_contains(ray.get(keys_ref), grams)
+        counts = np.bincount(
+            idx[hit], minlength=len(sub_ids)
+        ).astype(np.int64)
+        nz = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids[nz], pa.int64()),
+                "n_hits": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _kgram_hasher(k: int):

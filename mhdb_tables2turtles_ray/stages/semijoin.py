@@ -96,6 +96,60 @@ def build_key_filter(
     return merged
 
 
+def hash_strings(vals: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of a string array (pandas
+    siphash with the library's fixed default key — stable across
+    processes, so a filter built in one task probes correctly in
+    another)."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(vals, dtype=object))
+
+
+def build_string_key_filter(
+    keys_ds,
+    column: str,
+    exact_threshold: int = 4_000_000,
+    fpp: float = 1e-4,
+):
+    """:func:`build_key_filter`'s string-key sibling (n-grams, digests,
+    URLs). At or under ``exact_threshold`` DISTINCT keys: an exact
+    sorted unicode ndarray (``np.isin`` probe — zero false positives,
+    the oracle-checkable representation). Above it: a
+    :class:`BloomFilter` over :func:`hash_strings` of the keys, built
+    from streamed per-batch partials exactly like the int64 path — the
+    probe side must hash with :func:`hash_strings` too (semi-join-only,
+    per the Bloom false-positive trade)."""
+    n = keys_ds.count()
+    if n == 0:
+        return np.empty(0, dtype=str)
+    if exact_threshold is None or n <= exact_threshold:
+        vals = keys_ds.unique(column) or ()
+        return np.unique(np.asarray(list(vals), dtype=str))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity=n, fpp=fpp)
+        bf.add(hash_strings(batch.column(column).to_numpy(zero_copy_only=False)))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    merged = BloomFilter(capacity=n, fpp=fpp)
+    parts = keys_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+    for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
+        for bits in b.column("bits").to_pylist():
+            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
+    return merged
+
+
+def string_filter_contains(keys, vals: np.ndarray) -> np.ndarray:
+    """Membership probe against a :func:`build_string_key_filter` result
+    (exact ndarray or BloomFilter), vectorized."""
+    if isinstance(keys, BloomFilter):
+        return keys.contains(hash_strings(vals))
+    return np.isin(vals, keys)
+
+
 def semi_join(ds, column: str, keys_ref, anti: bool = False):
     """Keep rows whose ``column`` is (semi) / is not (anti) in the
     broadcast key set. ``keys_ref``: ``ray.put`` of a frozenset/ndarray

@@ -68,3 +68,47 @@ def test_top_tokens_and_histogram(ray_session):
     hist = length_histogram(sf).take_all()
     assert sum(r["n_docs"] for r in hist) == n_docs  # partition of the corpus
     assert all(r["bucket"] >= 0 for r in hist)
+
+
+def test_batch_grams_vectorized_semantics():
+    """Gram builder: lowercased, empty-token-free, never crosses row
+    boundaries — matching regexp_extract_all('\\S+') tokenization."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mhdb_tables2turtles_ray.pipelines.text import _batch_grams
+
+    col = pa.array(["The quick  Brown fox", None, "  a b  ", "x y z"])
+    idx, grams = _batch_grams(col, 3)
+    got = sorted(zip(idx.tolist(), grams.tolist()))
+    assert got == [
+        (0, "quick brown fox"),
+        (0, "the quick brown"),
+        (3, "x y z"),
+    ]
+    # n longer than any row -> empty, well-typed
+    idx2, grams2 = _batch_grams(col, 9)
+    assert len(idx2) == 0 and len(grams2) == 0
+
+
+def test_decontaminate_bloom_path_matches_exact(ray_session):
+    """Forcing the hashed-Bloom filter representation (exact_threshold=0)
+    must keep every exact hit (Bloom has no false negatives) and add at
+    most a tiny deterministic false-positive tail."""
+    from mhdb_tables2turtles_ray.pipelines.text import decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_id"], r["n_hits"]) for r in decontaminate(sf).take_all()
+    }
+    bloom = {
+        (r["doc_id"], r["n_hits"])
+        for r in decontaminate(sf, exact_threshold=0).take_all()
+    }
+    exact_ids = {d for d, _ in exact}
+    bloom_ids = {d for d, _ in bloom}
+    assert exact_ids <= bloom_ids
+    # hits on truly-contaminated docs can only grow under FPs
+    bloom_hits = dict(bloom)
+    assert all(bloom_hits[d] >= h for d, h in exact)
+    assert len(bloom_ids - exact_ids) <= 5  # fpp=1e-4 over ~1e5 probes
