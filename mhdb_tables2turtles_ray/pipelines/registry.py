@@ -318,15 +318,46 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": f"""
             SELECT doc_id, CAST(len({tokens}) AS BIGINT) AS n_tokens FROM documents
         """,
+        # dup_token_frac / top_bigram_frac are the Gopher-style
+        # repetition signals; IEEE double division on both sides keeps
+        # the value hash exact without rounding.
         "text_quality": f"""
-            SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars_text,
-                   CAST(len({tokens}) AS BIGINT) AS n_tokens,
-                   CAST({stop_hits} AS BIGINT) AS stop_hits,
-                   CASE WHEN len({tokens}) > 0
-                        THEN CAST({stop_hits} AS DOUBLE) / len({tokens})
-                        ELSE 0.0 END AS stop_ratio
-            FROM documents
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars_text,
+                     CAST(len({tokens}) AS BIGINT) AS n_tokens,
+                     CAST({stop_hits} AS BIGINT) AS stop_hits,
+                     CASE WHEN len({tokens}) > 0
+                          THEN CAST({stop_hits} AS DOUBLE) / len({tokens})
+                          ELSE 0.0 END AS stop_ratio
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
+            dt AS (
+              SELECT doc_id, len(ts) AS n_tok,
+                     len(list_distinct(ts)) AS n_dis
+              FROM tok
+            ),
+            big AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]
+                     )) AS g
+              FROM tok
+            ),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+            bt AS (
+              SELECT doc_id, max(c) AS topc, sum(c) AS total
+              FROM bc GROUP BY doc_id
+            )
+            SELECT q.*,
+                   CASE WHEN dt.n_tok > 0
+                        THEN CAST(dt.n_tok - dt.n_dis AS DOUBLE) / dt.n_tok
+                        ELSE 0.0 END AS dup_token_frac,
+                   CASE WHEN bt.total IS NOT NULL
+                        THEN CAST(bt.topc AS DOUBLE) / bt.total
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM q LEFT JOIN dt USING (doc_id) LEFT JOIN bt USING (doc_id)
         """,
         "text_lang_id": f"""
             SELECT doc_id,
