@@ -315,8 +315,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sim, 6) AS cosine
             FROM r WHERE rank <= 5
         """,
+        # n_subtokens: the BPE-ish pre-tokenizer count — both engines run
+        # RE2, so the pattern string is shared verbatim (text.BPE_ISH_RE)
         "text_token_counts": f"""
-            SELECT doc_id, CAST(len({tokens}) AS BIGINT) AS n_tokens FROM documents
+            SELECT doc_id,
+                   CAST(len({tokens}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, ' ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+')) AS BIGINT) AS n_subtokens
+            FROM documents
         """,
         # dup_token_frac / top_bigram_frac are the Gopher-style
         # repetition signals; IEEE double division on both sides keeps

@@ -56,14 +56,29 @@ LANG_MARKERS = {
 STOPWORDS = ("the", "a")
 
 
+# GPT-2-style pre-tokenizer segments, RE2-safe (Arrow and DuckDB both
+# run RE2 — no lookarounds, so the trailing-space alternates of the
+# original GPT-2 pattern are dropped): optionally-space-prefixed letter
+# runs, digit runs, and punctuation runs.
+BPE_ISH_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
 def token_counts(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, n_tokens) — whitespace tokenization, vectorized."""
+    """(doc_id, n_tokens, n_subtokens) — whitespace tokenization plus a
+    BPE-ish pre-tokenizer segment count (:data:`BPE_ISH_RE`), both as
+    single vectorized Arrow regex passes."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(batch.column("text"), r"\S+")
+        text = batch.column("text")
+        n = pc.count_substring_regex(text, r"\S+")
+        n_sub = pc.count_substring_regex(text, BPE_ISH_RE)
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(n, pa.int64())}
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.cast(n, pa.int64()),
+                "n_subtokens": pc.cast(n_sub, pa.int64()),
+            }
         )
 
     return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)

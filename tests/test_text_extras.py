@@ -112,3 +112,36 @@ def test_decontaminate_bloom_path_matches_exact(ray_session):
     bloom_hits = dict(bloom)
     assert all(bloom_hits[d] >= h for d, h in exact)
     assert len(bloom_ids - exact_ids) <= 5  # fpp=1e-4 over ~1e5 probes
+
+
+def test_bpe_ish_subtoken_count_diverges_and_matches_duckdb(ray_session):
+    """On punctuation/digit-mixed text the BPE-ish segment count must
+    exceed the whitespace count, and Arrow's RE2 must agree with
+    DuckDB's RE2 on the shared pattern verbatim."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mhdb_tables2turtles_ray.pipelines.text import BPE_ISH_RE
+
+    texts = [
+        "don't stop-me now: 3.14 works!",
+        "héllo wörld 2024…ok",
+        "   ",
+        "a,b;c",
+    ]
+    col = pa.array(texts)
+    ours_ws = pc.count_substring_regex(col, r"\S+").to_pylist()
+    ours_sub = pc.count_substring_regex(col, BPE_ISH_RE).to_pylist()
+
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT len(regexp_extract_all(?, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert ours_sub == duck
+    assert ours_sub[0] > ours_ws[0]  # punctuation splits segments
+    assert ours_sub[3] == 5 and ours_ws[3] == 1
