@@ -540,9 +540,11 @@ def sketch_pairs(sf_dir: str) -> ray.data.Dataset:
     """Monitoring union of the sketch-based near-dup detectors: one tall
     (variant, doc_a, doc_b, score) table — variant 'minhash_lsh' with
     score = estimated Jaccard, variant 'simhash' with score = Hamming
-    distance. Consolidates two rows-only registry entries so every
-    oracled query fits under the driver's gate; each sketch keeps its
-    own tests (two-pass equality, banding bounds)."""
+    distance, variant 'embed_lsh' with score = SRP-estimated cosine
+    (doc ids are vec_ids for that variant). Consolidates the rows-only
+    registry entries so every oracled query fits under the driver's
+    gate; each sketch keeps its own tests (two-pass equality, banding
+    bounds, SRP recall/estimator accuracy)."""
 
     def tag(ds: ray.data.Dataset, name: str, score_col: str) -> ray.data.Dataset:
         def fmt(t: pa.Table, name=name, score_col=score_col) -> pa.Table:
@@ -559,7 +561,8 @@ def sketch_pairs(sf_dir: str) -> ray.data.Dataset:
 
     mh = tag(minhash_lsh_pairs(sf_dir), "minhash_lsh", "est_jaccard")
     sh = tag(simhash_pairs(sf_dir), "simhash", "hamming")
-    return mh.union(sh)
+    el = tag(embedding_lsh_pairs(sf_dir), "embed_lsh", "est_cosine")
+    return mh.union(sh).union(el)
 
 
 def jaccard_pairs_subset(
@@ -793,6 +796,130 @@ def embedding_near_dup(
         )
 
     return ds.map_batches(sims, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# byte-popcount lookup for vectorized 64-bit Hamming (numpy < 2 has no
+# bitwise_count kernel)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)].reshape(
+        len(x), 8
+    ).sum(axis=1)
+
+
+class HyperplaneHasher:
+    """Signed-random-projection 64-bit signature stage over the
+    ``embedding`` column — SimHash for cosine space. The Gaussian
+    hyperplane matrix is a deterministic function of (seed, dim),
+    generated lazily on the first batch (dim read from the data) and
+    reused for the actor's lifetime, so every task buckets identically
+    without shipping the matrix."""
+
+    def __init__(self, band_bits: int = 16, seed: int = 7):
+        self.band_bits = band_bits
+        self.n_bands = 64 // band_bits
+        self.seed = seed
+        self._R: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.numeric import list_column_to_matrix
+
+        vids = batch.column("vec_id").to_numpy()
+        emb = list_column_to_matrix(batch.column("embedding"))
+        if self._R is None:
+            rng = np.random.default_rng(self.seed)
+            self._R = rng.standard_normal((64, emb.shape[1]))
+        proj = emb @ self._R.T  # (n, 64); sign is scale-invariant, no norm needed
+        bits = (proj >= 0).astype(np.uint64)
+        sig = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1).astype(np.uint64)
+
+        n = len(vids)
+        bands = np.arange(self.n_bands, dtype=np.uint64)
+        band_rep = np.tile(bands, n)
+        sig_rep = np.repeat(sig, self.n_bands)
+        mask = np.uint64((1 << self.band_bits) - 1)
+        keys = (sig_rep >> (band_rep * np.uint64(self.band_bits))) & mask
+        return pa.table(
+            {
+                "band": pa.array(band_rep.astype(np.int32)),
+                "band_key": pa.array(keys),
+                "doc_id": pa.array(np.repeat(vids, self.n_bands).astype(np.int64)),
+                "sig": pa.array(sig_rep),
+            }
+        )
+
+
+def embedding_lsh_pairs(
+    sf_dir: str | None = None,
+    ds: ray.data.Dataset | None = None,
+    band_bits: int = 16,
+    threshold: float = 0.85,
+    max_bucket: int = 200,
+    concurrency=(1, 8),
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Corpus-scale embedding near-dup pairs via random-hyperplane LSH —
+    the unbounded-both-sides sibling of :func:`embedding_near_dup`
+    (which broadcasts a bounded query block). Signatures bucket on
+    16-bit bands exactly like :func:`simhash_pairs`; within-bucket
+    pairs are scored by the SRP estimator
+    ``est_cosine = cos(pi * hamming / 64)`` and kept at
+    ``est_cosine >= threshold``. One all-to-all of 24-byte band rows —
+    vectors never shuffle; estimation (not exact re-scoring) is the
+    standard at-scale verify, mirroring MinHash's est_jaccard."""
+    if ds is None:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exploded = ds.map_batches(
+        HyperplaneHasher,
+        fn_constructor_kwargs={"band_bits": band_bits, "seed": seed},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=concurrency,
+    )
+
+    B = 256
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        coarse = pc.bit_wise_xor(
+            t.column("band_key"), pc.cast(t.column("band"), pa.uint64())
+        )
+        bucket = pc.cast(
+            pc.bit_wise_and(coarse, pa.scalar(B - 1, pa.uint64())), pa.int64()
+        )
+        return t.append_column("bucket", bucket)
+
+    def coarse_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_e = [], [], []
+        for _, group in part.groupby(["band", "band_key"], sort=False):
+            if len(group) < 2:
+                continue
+            group = group.sort_values("doc_id").head(max_bucket)
+            ids = group["doc_id"].to_numpy()
+            sigs = group["sig"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                d = _popcount64(sigs[i + 1 :] ^ sigs[i])
+                est = np.cos(np.pi * d / 64.0)
+                for j in np.nonzero(est >= threshold)[0]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1 + j]))
+                    out_e.append(float(est[j]))
+        return pd.DataFrame(
+            {"doc_a": out_a, "doc_b": out_b, "est_cosine": out_e}
+        ).astype({"doc_a": "int64", "doc_b": "int64", "est_cosine": "float64"})
+
+    pairs = (
+        exploded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(coarse_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("est_cosine", alias_name="est_cosine")
+    )
 
 
 def _index_meta(index_dir: str, expected: dict) -> dict:

@@ -407,3 +407,66 @@ def test_auto_switch_on_saturated_candidates(ray_session, caplog):
     assert forced_single == forced_two == auto
     assert len(auto) > 0
     assert any("switching to the single-pass" in r.message for r in caplog.records)
+
+
+def _planted_embedding_ds(n_clusters=6, per=4, dim=32, noise=0.01):
+    import pyarrow as pa
+    import ray
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((n_clusters, dim))
+    vecs, ids = [], []
+    for c in range(n_clusters):
+        for v in range(per):
+            vecs.append(centers[c] + noise * rng.standard_normal(dim))
+            ids.append(c * per + v)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+    ), n_clusters, per
+
+
+def test_embedding_lsh_recovers_planted_clusters(ray_session):
+    """SRP-LSH must find every within-cluster pair of tightly-planted
+    near-dup embeddings (cosine ~1 -> hamming ~0 -> est ~1) and no
+    cross-cluster pair at a high threshold."""
+    from mhdb_tables2turtles_ray.pipelines.dedup import embedding_lsh_pairs
+
+    ds, n_clusters, per = _planted_embedding_ds()
+    rows = embedding_lsh_pairs(ds=ds, threshold=0.95).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    expected = {
+        (c * per + i, c * per + j)
+        for c in range(n_clusters)
+        for i in range(per)
+        for j in range(i + 1, per)
+    }
+    assert expected <= got
+    # no cross-cluster pair survives the 0.95 bar (clusters ~orthogonal)
+    cross = {p for p in got if p[0] // per != p[1] // per}
+    assert not cross
+    # estimator: within-cluster estimated cosine is near 1
+    assert all(r["est_cosine"] >= 0.95 for r in rows)
+
+
+def test_embedding_lsh_deterministic_and_estimator_sane(ray_session):
+    from mhdb_tables2turtles_ray.pipelines.dedup import embedding_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        (r["doc_a"], r["doc_b"], r["est_cosine"])
+        for r in embedding_lsh_pairs(sf).take_all()
+    )
+    b = sorted(
+        (r["doc_a"], r["doc_b"], r["est_cosine"])
+        for r in embedding_lsh_pairs(sf).take_all()
+    )
+    assert a == b  # fixed seed + deterministic hyperplanes
+    for _, _, est in a:
+        assert -1.0 <= est <= 1.0

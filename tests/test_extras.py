@@ -187,6 +187,9 @@ def test_consolidated_monitoring_queries(ray_session):
         for r in sp[sp.variant == "simhash"].itertuples()
     }
     assert got_mh == mh and got_sh == sh
+    # embed_lsh variant present with SRP-estimated cosine scores
+    el = sp[sp.variant == "embed_lsh"]
+    assert ((el.score >= -1.0) & (el.score <= 1.0)).all()
 
     av = ann_variants(sf).to_pandas()
     assert set(av.variant.unique()) == {
