@@ -895,9 +895,12 @@ def embedding_lsh_pairs(
 
     def coarse_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_e = [], [], []
+        n_truncated = 0
         for _, group in part.groupby(["band", "band_key"], sort=False):
             if len(group) < 2:
                 continue
+            if len(group) > max_bucket:
+                n_truncated += 1
             group = group.sort_values("doc_id").head(max_bucket)
             ids = group["doc_id"].to_numpy()
             sigs = group["sig"].to_numpy().astype(np.uint64)
@@ -908,6 +911,15 @@ def embedding_lsh_pairs(
                     out_a.append(int(ids[i]))
                     out_b.append(int(ids[i + 1 + j]))
                     out_e.append(float(est[j]))
+        if n_truncated:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_lsh: truncated %d bucket(s) to max_bucket=%d "
+                "(skew guard; candidate pairs beyond the cap dropped)",
+                n_truncated,
+                max_bucket,
+            )
         return pd.DataFrame(
             {"doc_a": out_a, "doc_b": out_b, "est_cosine": out_e}
         ).astype({"doc_a": "int64", "doc_b": "int64", "est_cosine": "float64"})
@@ -930,31 +942,25 @@ def _index_meta(index_dir: str, expected: dict) -> dict:
     shape) stay CONSTANT across every increment — a later call with a
     different ``num_partitions`` would compute wrong partition ids and
     the existence-filtered reads would silently skip "missing" files,
-    leaking indexed duplicates. The first call CLAIMS creation with
-    ``O_CREAT|O_EXCL`` (exactly one winner — no TOCTOU window where two
-    concurrent first-increments with different params both think they
-    created the index); a concurrent loser falls through to the
+    leaking indexed duplicates. The first call CLAIMS creation with a
+    link()-based publish: content is fully written (and fsynced) to a
+    pid-suffixed tmp file first, then ``os.link`` publishes it — the
+    link either atomically creates a COMPLETE meta file or raises
+    EEXIST, so there is no TOCTOU window for two concurrent
+    first-increments with different params, no retry loop (a loser
+    always reads complete content), and a crash mid-write can never
+    leave a corrupt file at the meta path. Losers fall through to the
     validate path, which FAILS LOUDLY on any structural mismatch.
     """
     import json
     import os
-    import time
 
     os.makedirs(index_dir, exist_ok=True)
     path = os.path.join(index_dir, "_index_meta.json")
 
     def validate() -> dict:
-        # brief retry: a concurrent winner may have claimed the file but
-        # not finished the (single small) JSON write yet
-        for attempt in range(3):
-            try:
-                with open(path) as f:
-                    stored = json.load(f)
-                break
-            except (json.JSONDecodeError, ValueError):
-                if attempt == 2:
-                    raise
-                time.sleep(0.05)
+        with open(path) as f:
+            stored = json.load(f)
         mismatch = {
             k: (stored.get(k), v)
             for k, v in expected.items()
@@ -973,18 +979,19 @@ def _index_meta(index_dir: str, expected: dict) -> dict:
             )
         return stored
 
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    if os.path.exists(path):
         return validate()
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(expected, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(expected, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-    except BaseException:
-        os.unlink(path)  # don't leave a half-written claim behind
-        raise
+        os.link(tmp, path)  # atomic publish-or-EEXIST
+    except FileExistsError:
+        os.unlink(tmp)
+        return validate()  # concurrent winner's content is complete
+    os.unlink(tmp)
     return expected
 
 

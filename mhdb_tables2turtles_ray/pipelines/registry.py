@@ -102,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         LANG_CASE_SQL,
     )
 
+    from mhdb_tables2turtles_ray.pipelines.text import BPE_ISH_RE as bpe_re
+
     tokens = "regexp_extract_all(text, '\\S+')"
     stop_hits = f"len(list_filter({tokens}, x -> x IN ('the', 'a')))"
     hits_en = stop_hits
@@ -316,11 +318,13 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 5
         """,
         # n_subtokens: the BPE-ish pre-tokenizer count — both engines run
-        # RE2, so the pattern string is shared verbatim (text.BPE_ISH_RE)
+        # RE2, and the pattern is INTERPOLATED from text.BPE_ISH_RE (one
+        # source of truth; DuckDB string literals don't process
+        # backslashes, so the raw pattern passes through unchanged)
         "text_token_counts": f"""
             SELECT doc_id,
                    CAST(len({tokens}) AS BIGINT) AS n_tokens,
-                   CAST(len(regexp_extract_all(text, ' ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+')) AS BIGINT) AS n_subtokens
+                   CAST(len(regexp_extract_all(text, '{bpe_re}')) AS BIGINT) AS n_subtokens
             FROM documents
         """,
         # dup_token_frac / top_bigram_frac are the Gopher-style

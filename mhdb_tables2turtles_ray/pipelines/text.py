@@ -2,10 +2,12 @@
 
 Large-scale training-data pipeline staples: token counting, quality
 scoring, language identification, document fingerprinting, train/test
-decontamination. All are single-pass ``map_batches`` stages — no
-shuffle, fully streaming — with vectorized pyarrow/numpy kernels where
-the kernel exists and tight per-batch Python only for the
-set-membership scoring.
+decontamination. The per-doc analyses are single-pass ``map_batches``
+stages — no shuffle, fully streaming — with vectorized pyarrow/numpy
+kernels where the kernel exists and tight per-batch Python only for
+the set-membership scoring. :func:`decontaminate` is the exception by
+design: two passes over the corpus (a driver-blocking test-side filter
+build, then the streaming train-side probe), still shuffle-free.
 """
 
 from __future__ import annotations
@@ -144,8 +146,9 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
             valid = parents[:-1] == parents[1:]
             if valid.any():
                 bp = parents[:-1][valid]
-                fu = flat.astype(str)
-                bi = np.char.add(np.char.add(fu[:-1], " "), fu[1:])[valid]
+                # object-dtype concat (see _batch_grams): fixed-width
+                # np.char would inflate every slot to max token width
+                bi = (flat[:-1] + " " + flat[1:])[valid]
                 cnt = (
                     pd.DataFrame({"p": bp, "g": bi})
                     .groupby(["p", "g"], sort=False)
@@ -375,14 +378,19 @@ def _batch_grams(text_col, n: int) -> tuple[np.ndarray, np.ndarray]:
     flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
     parents = pc.list_parent_indices(toks).to_numpy()
     keep = flat != ""
-    flat, parents = flat[keep].astype(str), parents[keep]
+    flat, parents = flat[keep], parents[keep]
     L = len(flat)
     if L < n:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=str)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
     valid = parents[: L - n + 1] == parents[n - 1 :]
+    # object-dtype concat, NOT np.char on fixed-width unicode: a U array
+    # sizes EVERY slot at (n × max token length), so one long unbroken
+    # token (base64 blob, URL) would inflate the gram buffer to
+    # positions × max_width × 4 bytes and OOM the worker; object arrays
+    # pay only the actual string bytes.
     grams = flat[: L - n + 1]
     for j in range(1, n):
-        grams = np.char.add(np.char.add(grams, " "), flat[j : L - n + 1 + j])
+        grams = grams + " " + flat[j : L - n + 1 + j]
     return parents[: L - n + 1][valid].astype(np.int64), grams[valid]
 
 

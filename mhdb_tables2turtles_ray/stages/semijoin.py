@@ -50,6 +50,30 @@ class BloomFilter:
         return out
 
 
+def _streamed_bloom(keys_ds, column: str, n: int, fpp: float, key_fn):
+    """Distributed Bloom build shared by the int64 and string filters:
+    per-batch partial filters, STREAMED OR-merge (iter_batches, not
+    take_all — partial filters arrive under backpressure and the driver
+    holds ~one at a time; take_all would resident #batches × filter_size
+    at once, which at a 1M-key index already cost >1 GB of driver heap,
+    measured). Large batch_size keeps the partial count (and total wire
+    bytes) low. ``key_fn`` maps the raw column ndarray to uint64 keys."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity=n, fpp=fpp)
+        bf.add(key_fn(batch.column(column).to_numpy(zero_copy_only=False)))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    merged = BloomFilter(capacity=n, fpp=fpp)
+    parts = keys_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+    for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
+        for bits in b.column("bits").to_pylist():
+            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
+    return merged
+
+
 def build_key_filter(
     keys_ds,
     column: str,
@@ -61,10 +85,9 @@ def build_key_filter(
     ``keys_ds``: Dataset of (possibly duplicated) join keys. Counts the
     rows first (one cheap metadata-ish pass); at or under
     ``exact_threshold`` collects the distinct int64 keys into an exact
-    ndarray, above it builds a :class:`BloomFilter` from per-batch
-    partial filters OR-merged on the driver — each batch ships one
-    fixed-size register row, so the driver never holds the key set.
-    Pass ``exact_threshold=None`` to force the exact path (anti joins).
+    ndarray, above it builds a :class:`BloomFilter` via
+    :func:`_streamed_bloom`. Pass ``exact_threshold=None`` to force the
+    exact path (anti joins).
     """
     n = keys_ds.count()
     if n == 0:
@@ -75,25 +98,7 @@ def build_key_filter(
         return np.unique(
             np.fromiter(keys_ds.unique(column), dtype=np.int64, count=-1)
         )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(capacity=n, fpp=fpp)
-        bf.add(batch.column(column).to_numpy())
-        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
-
-    # STREAM the OR-merge (iter_batches, not take_all): partial filters
-    # arrive under backpressure and the driver holds ~one at a time —
-    # take_all would resident #batches × filter_size at once, which at
-    # a 1M-key index already cost >1 GB of driver heap (measured).
-    # Large batch_size keeps the partial count (and total wire bytes) low.
-    merged = BloomFilter(capacity=n, fpp=fpp)
-    parts = keys_ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
-    )
-    for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
-        for bits in b.column("bits").to_pylist():
-            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
-    return merged
+    return _streamed_bloom(keys_ds, column, n, fpp, lambda v: v)
 
 
 def hash_strings(vals: np.ndarray) -> np.ndarray:
@@ -114,40 +119,33 @@ def build_string_key_filter(
 ):
     """:func:`build_key_filter`'s string-key sibling (n-grams, digests,
     URLs). At or under ``exact_threshold`` DISTINCT keys: an exact
-    sorted unicode ndarray (``np.isin`` probe — zero false positives,
-    the oracle-checkable representation). Above it: a
-    :class:`BloomFilter` over :func:`hash_strings` of the keys, built
-    from streamed per-batch partials exactly like the int64 path — the
-    probe side must hash with :func:`hash_strings` too (semi-join-only,
-    per the Bloom false-positive trade)."""
+    object ndarray (hash-based ``pd.Series.isin`` probe — zero false
+    positives, the oracle-checkable representation; object dtype, never
+    fixed-width unicode, so one long key can't inflate the whole
+    array). Above it: a :class:`BloomFilter` over :func:`hash_strings`
+    of the keys, via the shared :func:`_streamed_bloom` — the probe
+    side must hash with :func:`hash_strings` too (semi-join-only, per
+    the Bloom false-positive trade)."""
+    import pandas as pd
+
     n = keys_ds.count()
     if n == 0:
-        return np.empty(0, dtype=str)
+        return np.empty(0, dtype=object)
     if exact_threshold is None or n <= exact_threshold:
         vals = keys_ds.unique(column) or ()
-        return np.unique(np.asarray(list(vals), dtype=str))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(capacity=n, fpp=fpp)
-        bf.add(hash_strings(batch.column(column).to_numpy(zero_copy_only=False)))
-        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
-
-    merged = BloomFilter(capacity=n, fpp=fpp)
-    parts = keys_ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
-    )
-    for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
-        for bits in b.column("bits").to_pylist():
-            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
-    return merged
+        return pd.unique(np.asarray(list(vals), dtype=object))
+    return _streamed_bloom(keys_ds, column, n, fpp, hash_strings)
 
 
 def string_filter_contains(keys, vals: np.ndarray) -> np.ndarray:
     """Membership probe against a :func:`build_string_key_filter` result
-    (exact ndarray or BloomFilter), vectorized."""
+    (exact ndarray or BloomFilter), vectorized (hash-based — object
+    string arrays make np.isin fall into its slow sort path)."""
+    import pandas as pd
+
     if isinstance(keys, BloomFilter):
         return keys.contains(hash_strings(vals))
-    return np.isin(vals, keys)
+    return pd.Series(vals, dtype=object).isin(keys).to_numpy()
 
 
 def semi_join(ds, column: str, keys_ref, anti: bool = False):
