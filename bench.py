@@ -135,6 +135,8 @@ def run_benchmarks() -> dict:
     bench("mm_media_meta", mm.media_meta)
     bench("ann_ivf_partitioned", sim.ann_ivf_partitioned)
     bench("rel_value_median_by_type", rel.value_median_by_type)
+    bench("text_decontaminate", tx.decontaminate)
+    bench("dedup_embed_lsh", dd.embedding_lsh_pairs)
     # end-to-end curation funnel (quality+lang filter → exact dedup →
     # LSH near-dup removal); _consume drives the survivors Dataset
     bench("curate_corpus", lambda sf: cu.curate_corpus(sf)[0])

@@ -8,6 +8,9 @@ stages:
     key-filter semi-join back to the docs)
     → near-dup removal (MinHash-LSH pairs → distributed connected
     components → anti semi-join — ``dedup_keep_best_lsh``)
+    → OPTIONAL train/test decontamination (``text.decontaminate_pair``
+    against a caller-supplied benchmark set, anti semi-join of the
+    contaminated ids)
     → surviving doc ids + a per-stage funnel summary.
 
 Every stage streams; the only driver state is the funnel counts and the
@@ -35,11 +38,22 @@ def curate_corpus(
     min_tokens: int = 5,
     langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.5,
+    decontam_test_ds: ray.data.Dataset | None = None,
+    decontam_ngram: int = 8,
+    decontam_max_hits: int = 0,
     **lsh_kwargs,
 ) -> tuple[ray.data.Dataset, dict]:
     """Returns (surviving (doc_id) Dataset, funnel summary dict with
     per-stage counts: input → after_quality_lang → after_exact_dedup →
-    after_near_dedup)."""
+    after_near_dedup [→ after_decontam]).
+
+    Pass ``decontam_test_ds`` (a (doc_id, text) Dataset of held-out
+    benchmark docs) to also drop any surviving doc sharing more than
+    ``decontam_max_hits`` lowercased ``decontam_ngram``-gram positions
+    with it — contamination is computed once against the
+    exact-deduped docs (it does not depend on the near-dup outcome), so
+    the stage is one broadcast-filter probe plus an exact anti
+    semi-join of the contaminated ids."""
     import ray
 
     from ..stages.semijoin import build_key_filter, semi_join
@@ -121,9 +135,29 @@ def curate_corpus(
     survivors = dedup_keep_best_lsh(
         ds=exact_docs, threshold=jaccard_threshold, **lsh_kwargs
     ).materialize()
-    return survivors, {
+    summary = {
         "input": int(n_input),
         "after_quality_lang": int(n_filtered),
         "after_exact_dedup": int(n_exact),
         "after_near_dedup": int(survivors.count()),
     }
+    if decontam_test_ds is not None:
+        from .text import decontaminate_pair
+
+        contaminated = decontaminate_pair(
+            exact_docs, decontam_test_ds, n=decontam_ngram
+        )
+
+        def over_limit(t: pa.Table) -> pa.Table:
+            keep = pc.greater(t.column("n_hits"), decontam_max_hits)
+            return pa.table({"doc_id": t.filter(keep).column("doc_id")})
+
+        bad_ids = contaminated.map_batches(
+            over_limit, batch_format="pyarrow", zero_copy_batch=True
+        )
+        ckeys = build_key_filter(bad_ids, "doc_id", exact_threshold=None)
+        survivors = semi_join(
+            survivors, "doc_id", ray.put(ckeys), anti=True
+        ).materialize()
+        summary["after_decontam"] = int(survivors.count())
+    return survivors, summary

@@ -394,44 +394,34 @@ def _batch_grams(text_col, n: int) -> tuple[np.ndarray, np.ndarray]:
     return parents[: L - n + 1][valid].astype(np.int64), grams[valid]
 
 
-def decontaminate(
-    sf_dir: str | None = None,
+def decontaminate_pair(
+    train_ds: ray.data.Dataset,
+    test_ds: ray.data.Dataset,
     n: int = 5,
-    test_mod: int = 10,
-    ds: ray.data.Dataset | None = None,
     exact_threshold: int = 4_000_000,
 ) -> ray.data.Dataset:
-    """Train/test decontamination — the benchmark-leakage staple of a
-    training-data pipeline, distinct from near-dup dedup (cross-SET
-    containment at n-gram granularity, not within-set similarity).
-
-    The TEST slice is ``doc_id % test_mod == 0``; everything else is
-    TRAIN. Output (doc_id, n_hits): every train doc sharing at least one
-    lowercased whitespace-token ``n``-gram with the test slice, with the
-    count of contaminated gram positions.
+    """Train/test decontamination core over two (doc_id, text)
+    Datasets. Output (doc_id, n_hits): every train doc sharing at least
+    one lowercased whitespace-token ``n``-gram with the test set, with
+    the count of contaminated gram positions.
 
     Scale shape: the test side is the SMALL side by construction — its
     distinct grams build a broadcast key filter
-    (``stages/semijoin.py:build_string_key_filter``: exact sorted
+    (``stages/semijoin.py:build_string_key_filter``: exact object-dtype
     strings under ``exact_threshold`` — the zero-false-positive,
     oracle-checkable representation — hashed Bloom partials streamed
     above it), and the train corpus streams through one vectorized
-    membership pass. No shuffle touches the corpus."""
+    membership pass. No shuffle touches either corpus."""
     import ray
 
     from ..stages.semijoin import build_string_key_filter, string_filter_contains
 
-    if ds is None:
-        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
     def test_grams(batch: pa.Table) -> pa.Table:
-        dids = batch.column("doc_id").to_numpy()
-        sub = batch.filter(pa.array(dids % test_mod == 0))
-        _, grams = _batch_grams(sub.column("text"), n)
+        _, grams = _batch_grams(batch.column("text"), n)
         # per-batch dedup pre-shrinks what the filter build consumes
         return pa.table({"gram": pa.array(np.unique(grams).tolist(), pa.string())})
 
-    gram_ds = ds.map_batches(
+    gram_ds = test_ds.map_batches(
         test_grams, batch_format="pyarrow", zero_copy_batch=True
     )
     keys_ref = ray.put(
@@ -439,10 +429,8 @@ def decontaminate(
     )
 
     def probe(batch: pa.Table) -> pa.Table:
-        dids = batch.column("doc_id").to_numpy()
-        sub = batch.filter(pa.array(dids % test_mod != 0))
-        sub_ids = sub.column("doc_id").to_numpy()
-        idx, grams = _batch_grams(sub.column("text"), n)
+        sub_ids = batch.column("doc_id").to_numpy()
+        idx, grams = _batch_grams(batch.column("text"), n)
         hit = string_filter_contains(ray.get(keys_ref), grams)
         counts = np.bincount(
             idx[hit], minlength=len(sub_ids)
@@ -455,7 +443,42 @@ def decontaminate(
             }
         )
 
-    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return train_ds.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def decontaminate(
+    sf_dir: str | None = None,
+    n: int = 5,
+    test_mod: int = 10,
+    ds: ray.data.Dataset | None = None,
+    exact_threshold: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Registry surface of :func:`decontaminate_pair` — the benchmark-
+    leakage staple, distinct from near-dup dedup (cross-SET containment
+    at n-gram granularity, not within-set similarity). The TEST slice
+    is ``doc_id % test_mod == 0``; everything else is TRAIN."""
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(test: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            dids = batch.column("doc_id").to_numpy()
+            m = dids % test_mod == 0
+            return batch.filter(pa.array(m if test else ~m))
+
+        return fn
+
+    train_ds = ds.map_batches(
+        part(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    test_ds = ds.map_batches(
+        part(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return decontaminate_pair(
+        train_ds, test_ds, n=n, exact_threshold=exact_threshold
+    )
 
 
 def _kgram_hasher(k: int):

@@ -118,3 +118,42 @@ def test_curate_null_text_dropped_deterministically(ray_session):
     survivors, summary = curate_corpus(ds=ds, min_tokens=5, langs=["en"])
     assert {r["doc_id"] for r in survivors.take_all()} == {1}
     assert summary["after_quality_lang"] == 1
+
+
+def test_curate_decontamination_stage(ray_session):
+    """With a benchmark test set supplied, the funnel must additionally
+    drop exactly the surviving docs that share an 8-gram with it."""
+    import pyarrow as pa
+    import ray
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    clean = "a completely different sentence about the weather in paris today"
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([leak + " extra tail", clean], pa.string()),
+            }
+        )
+    )
+    test_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([900], pa.int64()),
+                "text": pa.array(["benchmark prompt: " + leak], pa.string()),
+            }
+        )
+    )
+    survivors, summary = curate_corpus(
+        ds=ds, min_tokens=3, langs=["en"], decontam_test_ds=test_ds
+    )
+    assert {r["doc_id"] for r in survivors.take_all()} == {2}
+    assert summary["after_near_dedup"] == 2
+    assert summary["after_decontam"] == 1
+
+    # without a test set the key is absent and nothing is dropped
+    survivors2, summary2 = curate_corpus(ds=ds, min_tokens=3, langs=["en"])
+    assert "after_decontam" not in summary2
+    assert {r["doc_id"] for r in survivors2.take_all()} == {1, 2}
