@@ -65,6 +65,7 @@ def run_benchmarks() -> dict:
     from mhdb_tables2turtles_ray.pipelines import kg_queries as kq
     from mhdb_tables2turtles_ray.pipelines import multimodal as mm
     from mhdb_tables2turtles_ray.pipelines import relational as rel
+    from mhdb_tables2turtles_ray.pipelines import shards as sh
     from mhdb_tables2turtles_ray.pipelines import similarity as sim
     from mhdb_tables2turtles_ray.pipelines import text as tx
     from mhdb_tables2turtles_ray.sources.corpus import corpus_from_documents
@@ -137,6 +138,7 @@ def run_benchmarks() -> dict:
     bench("rel_value_median_by_type", rel.value_median_by_type)
     bench("text_decontaminate", tx.decontaminate)
     bench("dedup_embed_lsh", dd.embedding_lsh_pairs)
+    bench("text_shard_assign", sh.shard_assign)
     # end-to-end curation funnel (quality+lang filter → exact dedup →
     # LSH near-dup removal); _consume drives the survivors Dataset
     bench("curate_corpus", lambda sf: cu.curate_corpus(sf)[0])

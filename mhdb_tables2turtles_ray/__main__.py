@@ -51,6 +51,21 @@ def main(argv=None) -> int:
     x.add_argument("--no-resume", action="store_true")
     x.add_argument("--num-cpus", type=int, default=None)
 
+    s = sub.add_parser(
+        "shard",
+        help="write the corpus as deterministic seeded training shards "
+             "(global-shuffle semantics, byte-identical on rerun)",
+    )
+    ssrc = s.add_mutually_exclusive_group(required=True)
+    ssrc.add_argument("--input", nargs="+", help="corpus parquet paths/globs")
+    ssrc.add_argument("--sf-dir", help="testdata dir (documents table)")
+    s.add_argument("--out", required=True)
+    s.add_argument("--shards", type=int, default=64)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--no-resume", action="store_true")
+    s.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     import ray
@@ -80,6 +95,24 @@ def main(argv=None) -> int:
             num_partitions=args.partitions, resume=not args.no_resume,
         )
         print(json.dumps({"query": args.query, "out_dir": args.out, **summary}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "shard":
+        import ray.data
+
+        from .pipelines.shards import write_training_shards
+        from .sources.tables import read_table
+
+        if args.sf_dir:
+            ds = read_table(args.sf_dir, "documents")
+        else:
+            ds = ray.data.read_parquet(args.input)
+        summary = write_training_shards(
+            ds, args.out, id_col=args.id_col, n_shards=args.shards,
+            seed=args.seed, resume=not args.no_resume,
+        )
+        print(json.dumps({"out_dir": args.out, "seed": args.seed, **summary}))
         ray.shutdown()
         return 0
 

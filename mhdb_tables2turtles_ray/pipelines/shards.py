@@ -1,0 +1,127 @@
+"""Deterministic seeded training shards — global-shuffle semantics
+without a global order dependency.
+
+A training-data loader wants the corpus split into N shards whose
+concatenation in (shard, position) order is a pseudo-random permutation
+of the corpus, reproducible from (seed, n_shards) alone. The classic
+implementation is ``random_shuffle()`` + ``repartition(N)`` — a full
+random exchange whose output depends on execution order. Here the
+permutation is a PURE FUNCTION of each row's id:
+
+    hk    = md5(f"{seed}:{id}")          # cross-engine 'random' key
+    shard = int(hk[:8], 16) % n_shards   # balanced in expectation
+    pos   = rank of (hk, id) within the shard
+
+so the assignment needs no coordination at all (one embarrassingly
+parallel ``map_batches``), the within-shard order needs only a LOCAL
+per-shard sort (each shard is ~|corpus| / n_shards — size n_shards so a
+shard fits a worker, exactly the file-size rule every training-shard
+layout already follows), and two runs — at ANY cluster size or block
+layout — produce byte-identical shards. Reshuffling between epochs is a
+seed change, not a data move you have to trust.
+
+md5 is the same cross-engine key used by ``rel_events_sample``
+(DuckDB's ``md5`` matches hashlib's hex), which makes the whole
+permutation SQL-checkable: the ``text_shard_assign`` oracle recomputes
+shard and pos in DuckDB via ``'0x' || substr(md5(..), 1, 8)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..sources.tables import read_table
+
+_HK = "__shard_hk"
+_SHARD = "__shard"
+
+
+def _seeded_hex(ids, seed: int) -> list[str]:
+    """md5 hex of ``f'{seed}:{id}'`` per id — the permutation key. The
+    per-row hashlib loop runs over the (small) id column only, the same
+    no-vector-kernel-exists trade as ``text_fingerprint``."""
+    return [
+        hashlib.md5(f"{seed}:{i}".encode("utf-8")).hexdigest() for i in ids
+    ]
+
+
+def _assign_cols(df: pd.DataFrame, id_col: str, seed: int, n_shards: int):
+    hks = _seeded_hex(df[id_col].tolist(), seed)
+    shards = np.fromiter(
+        (int(h[:8], 16) % n_shards for h in hks), np.int64, len(hks)
+    )
+    return hks, shards
+
+
+def shard_assign(
+    sf_dir: str, n_shards: int = 8, seed: int = 42
+) -> ray.data.Dataset:
+    """(doc_id, shard, pos) for every document — the seeded permutation
+    as a queryable table. ``pos`` is 1-based within its shard, ordered
+    by (hk, doc_id); reading shards 0..N-1 each in pos order replays
+    one fixed pseudo-random pass over the corpus."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        hks, shards = _assign_cols(df, "doc_id", seed, n_shards)
+        df[_HK] = hks
+        df["shard"] = shards
+        return df
+
+    def rank(part: pd.DataFrame) -> pd.DataFrame:
+        # one whole shard per group: local sort by the permutation key
+        part = part.sort_values([_HK, "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": part["doc_id"].to_numpy(),
+                "shard": part["shard"].to_numpy(),
+                "pos": np.arange(1, len(part) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+def write_training_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 42,
+    resume: bool = True,
+) -> dict:
+    """Write ``ds`` as ``n_shards`` seeded-permutation parquet shards
+    under ``out_dir`` (atomic file + manifest per shard, the
+    ``state/manifest.py`` protocol). Rows inside each shard file are
+    sorted by the permutation key, so shard bytes are a pure function
+    of (row set, seed, n_shards): a resumed run — or a rerun on a
+    different cluster size — reproduces the exact same files, and
+    resume skips finished shards BEFORE the one shard exchange."""
+    from ..stages.parquet_sink import write_partitioned_parquet
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        hks, shards = _assign_cols(df, id_col, seed, n_shards)
+        df[_HK] = hks
+        df[_SHARD] = shards
+        return df
+
+    return write_partitioned_parquet(
+        ds.map_batches(add, batch_format="pandas"),
+        out_dir,
+        _SHARD,
+        num_partitions=n_shards,
+        resume=resume,
+        identity_key=True,
+        sort_within=[_HK, id_col],
+        drop_cols=[_HK, _SHARD],
+    )

@@ -30,6 +30,8 @@ def write_partitioned_parquet(
     num_partitions: int = 64,
     resume: bool = True,
     identity_key: bool = False,
+    sort_within: list[str] | None = None,
+    drop_cols: list[str] | None = None,
 ) -> dict:
     """Write ``ds`` as ``num_partitions`` hash-partitioned parquet files
     under ``out_dir`` with per-partition manifests; returns a summary
@@ -41,7 +43,13 @@ def write_partitioned_parquet(
     ``num_partitions``) as the partition id instead of its hash — for
     integer keys that already ARE partition assignments (e.g. IVF
     cluster ids), so partition file ``i`` holds exactly key ``i``'s rows
-    and a consumer can prune reads to specific keys' files."""
+    and a consumer can prune reads to specific keys' files.
+
+    ``sort_within`` orders rows INSIDE each partition file by the named
+    columns before writing (a per-partition local sort — never a global
+    one), making file bytes a pure function of the partition's row SET;
+    ``drop_cols`` removes transient columns (e.g. the sort key) from the
+    written file after sorting."""
     os.makedirs(out_dir, exist_ok=True)
     done = (
         completed_partitions(out_dir, num_partitions, ext=_EXT) if resume else set()
@@ -70,8 +78,11 @@ def write_partitioned_parquet(
         import pyarrow.parquet as pq
 
         pid = int(part[_PID].iloc[0])
+        if sort_within:
+            part = part.sort_values(sort_within, kind="mergesort")
         table = pa.Table.from_pandas(
-            part.drop(columns=[_PID]), preserve_index=False
+            part.drop(columns=[_PID, *(drop_cols or [])]),
+            preserve_index=False,
         )
         tmp = os.path.join(out_dir, f".tmp-part-{pid:05d}.{os.getpid()}")
         pq.write_table(table, tmp)
@@ -110,14 +121,15 @@ def write_partitioned_parquet(
                     "dataset produced no rows and its schema is unknown — "
                     "cannot write empty partitions"
                 )
+            hidden = {_PID, *(drop_cols or [])}
             schema = pa.schema(
-                [f for f in ds_schema.base_schema if f.name != _PID]
+                [f for f in ds_schema.base_schema if f.name not in hidden]
             )
         empty_table = pa.table(
             {
                 name: pa.array([], type_)
                 for name, type_ in zip(schema.names, schema.types)
-                if name != _PID
+                if name not in {_PID, *(drop_cols or [])}
             }
         )
         for pid in empty:

@@ -78,3 +78,19 @@ def test_cli_export_unknown_query(tmp_path):
     )
     assert out.returncode == 2
     assert "unknown query" in out.stdout
+
+
+def test_cli_shard_and_resume(tmp_path):
+    out_dir = str(tmp_path / "shards")
+    args = [
+        "shard",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out_dir,
+        "--shards", "4",
+        "--seed", "7",
+        "--num-cpus", "4",
+    ]
+    first = _run(args)
+    assert first["n_rows"] == 500 and sorted(first["written"]) == [0, 1, 2, 3]
+    second = _run(args)  # deterministic resume: nothing to redo
+    assert second["written"] == [] and sorted(second["skipped"]) == [0, 1, 2, 3]

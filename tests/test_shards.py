@@ -1,0 +1,131 @@
+"""Seeded training shards: deterministic permutation, byte-identical
+rewrites, seed sensitivity, resume, and assign/writer agreement."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+N_SHARDS = 8
+SEED = 42
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    return read_table(SF, "documents", columns=["doc_id", "text"])
+
+
+def _write(ds, out, seed=SEED, resume=True):
+    from mhdb_tables2turtles_ray.pipelines.shards import write_training_shards
+
+    return write_training_shards(
+        ds, out, id_col="doc_id", n_shards=N_SHARDS, seed=seed, resume=resume
+    )
+
+
+def _manifest_shas(out):
+    mdir = os.path.join(out, "_manifests")
+    shas = {}
+    for name in sorted(os.listdir(mdir)):
+        with open(os.path.join(mdir, name)) as f:
+            shas[name] = json.load(f)["sha256"]
+    return shas
+
+
+def _all_ids():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    return set(t.column("doc_id").to_pylist())
+
+
+def test_shards_cover_corpus_exactly_once(docs_ds, tmp_path):
+    out = str(tmp_path / "shards")
+    summary = _write(docs_ds, out)
+    assert sorted(summary["written"]) == list(range(N_SHARDS))
+    seen = []
+    for pid in range(N_SHARDS):
+        t = pq.read_table(os.path.join(out, f"part-{pid:05d}.parquet"))
+        assert t.schema.names == ["doc_id", "text"]  # transient cols dropped
+        seen.extend(t.column("doc_id").to_pylist())
+    assert len(seen) == len(set(seen))
+    assert set(seen) == _all_ids()
+
+
+def test_rewrite_is_byte_identical_and_matches_assign(docs_ds, tmp_path):
+    """Shard bytes are a pure function of (row set, seed, n_shards):
+    two independent runs produce identical manifest sha256s, and the
+    within-file order replays shard_assign's (shard, pos) order."""
+    from mhdb_tables2turtles_ray.pipelines.shards import shard_assign
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write(docs_ds, out_a)
+    _write(docs_ds, out_b)
+    shas_a, shas_b = _manifest_shas(out_a), _manifest_shas(out_b)
+    assert shas_a and shas_a == shas_b
+
+    assign = (
+        shard_assign(SF, n_shards=N_SHARDS, seed=SEED)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    file_order = []
+    for pid in range(N_SHARDS):
+        ids = pq.read_table(
+            os.path.join(out_a, f"part-{pid:05d}.parquet"), columns=["doc_id"]
+        ).column("doc_id").to_pylist()
+        file_order.extend((pid, i + 1, d) for i, d in enumerate(ids))
+    got = pd.DataFrame(file_order, columns=["shard", "pos", "doc_id"])
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "shard", "pos"]], assign, check_dtype=False
+    )
+
+
+def test_seed_changes_permutation(docs_ds, tmp_path):
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write(docs_ds, out_a, seed=SEED)
+    _write(docs_ds, out_b, seed=SEED + 1)
+    assert set(_manifest_shas(out_a).values()) != set(
+        _manifest_shas(out_b).values()
+    )
+    # but both are complete permutations of the same corpus
+    for out in (out_a, out_b):
+        ids = []
+        for pid in range(N_SHARDS):
+            ids.extend(
+                pq.read_table(
+                    os.path.join(out, f"part-{pid:05d}.parquet"),
+                    columns=["doc_id"],
+                ).column("doc_id").to_pylist()
+            )
+        assert set(ids) == _all_ids()
+
+
+def test_resume_skips_finished_shards(docs_ds, tmp_path):
+    out = str(tmp_path / "shards")
+    first = _write(docs_ds, out)
+    assert sorted(first["written"]) == list(range(N_SHARDS))
+    before = _manifest_shas(out)
+    again = _write(docs_ds, out)
+    assert again["written"] == []
+    assert sorted(again["skipped"]) == list(range(N_SHARDS))
+    assert _manifest_shas(out) == before
+
+
+def test_hash_matches_oracle_convention():
+    """The 32 bits the engine mods are the same bits the DuckDB oracle
+    parses with '0x' || substr(md5, 1, 8)."""
+    from mhdb_tables2turtles_ray.pipelines.shards import _assign_cols
+
+    df = pd.DataFrame({"doc_id": [0, 1, 7, 123456789]})
+    hks, shards = _assign_cols(df, "doc_id", SEED, N_SHARDS)
+    for h, s, i in zip(hks, shards, df["doc_id"]):
+        assert h == hashlib.md5(f"{SEED}:{i}".encode()).hexdigest()
+        assert s == int(h[:8], 16) % N_SHARDS
