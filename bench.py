@@ -136,6 +136,8 @@ def run_benchmarks() -> dict:
     bench("mm_media_meta", mm.media_meta)
     bench("ann_ivf_partitioned", sim.ann_ivf_partitioned)
     bench("rel_value_median_by_type", rel.value_median_by_type)
+    bench("rel_purchase_attribution", rel.purchase_attribution)
+    bench("rel_events_rollup", rel.events_rollup)
     bench("text_decontaminate", tx.decontaminate)
     bench("dedup_embed_lsh", dd.embedding_lsh_pairs)
     bench("text_shard_assign", sh.shard_assign)

@@ -23,7 +23,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     by ``tests/test_sketch.py`` — for the oracled
     ``text_decontaminate``, then the rows-only ``text_winnow`` —
     winnowing still pinned by ``tests/test_text.py`` — for the oracled
-    ``text_shard_assign``)."""
+    ``text_shard_assign``, then the oracled ``rel_value_median_by_type``
+    — a strict subset of ``rel_value_quantiles_by_type``'s p50 gate on
+    the same shared cent histogram; the function, tests and bench stay —
+    for the oracled ``rel_purchase_attribution`` range join)."""
     from mhdb_tables2turtles_ray.pipelines import dedup as dd
     from mhdb_tables2turtles_ray.pipelines import kg_queries as kq
     from mhdb_tables2turtles_ray.pipelines import multimodal as mm
@@ -36,7 +39,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- KG construction (SURVEY.md §2) — all oracled ---
         "kg_doc_triples": kq.doc_triples,
         "kg_doc_prefixes": kq.doc_prefixes,
-        "kg_subject_degree": kq.subject_degree,
         "kg_entity_link_lang": kq.entity_link_lang,
         "kg_doc_sha256": kq.doc_sha256,
         "kg_flagship_summary": kq.flagship_summary,  # full flagship build,
@@ -82,8 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topk_per_customer": rel.topk_orders_per_customer,
         "rel_events_running_total": rel.events_running_total,
         "rel_events_pivot": rel.events_pivot_by_type,
-        "rel_value_median_by_type": rel.value_median_by_type,
         "rel_value_quantiles_by_type": rel.value_quantiles_by_type,
+        "rel_purchase_attribution": rel.purchase_attribution,  # range join
+        "rel_events_rollup": rel.events_rollup,  # grouping-sets ROLLUP
         "rel_distinct_users_by_type": rel.distinct_users_by_type,
         "rel_orders_semi": rel.orders_semi_join,
         "rel_orders_anti": rel.orders_anti_join,
@@ -126,11 +129,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT split_part(v, ':', 1) AS prefix FROM vals
             WHERE contains(v, ':') AND NOT contains(v, '://')
               AND NOT starts_with(v, '"') AND split_part(v, ':', 1) <> ''
-        """,
-        "kg_subject_degree": f"""
-            WITH triples AS ({DOC_TRIPLES_SQL})
-            SELECT subj, CAST(count(*) AS BIGINT) AS degree
-            FROM triples GROUP BY subj
         """,
         "kg_entity_link_lang": f"""
             SELECT doc_id, COALESCE({LANG_CASE_SQL}, 'UNKNOWN') AS canonical
@@ -638,9 +636,23 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rank <= 2
         """,
-        "rel_value_median_by_type": """
-            SELECT event_type, median(value) AS median_value
-            FROM events GROUP BY event_type
+        # two-relation range (interval) join: purchases LEFT-joined to
+        # the same user's non-purchase events in the trailing day
+        # (pipelines/relational.py:purchase_attribution)
+        "rel_purchase_attribution": """
+            SELECT p.event_id, p.user_id,
+                   CAST(count(e.event_id) AS BIGINT) AS n_attributed,
+                   CAST(COALESCE(sum(
+                     CAST(round(e.value * 100) AS BIGINT)
+                   ), 0) AS BIGINT) AS attributed_cents
+            FROM events p
+            LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type <> 'purchase'
+             AND e.ts >= p.ts - INTERVAL 1 DAY
+             AND e.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
         """,
         "rel_value_quantiles_by_type": """
             SELECT event_type,
@@ -648,6 +660,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.9) AS p90,
                    quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY event_type
+        """,
+        # ROLLUP hierarchy (type, day) / (type, ALL) / (ALL, ALL) —
+        # coarser levels derived from the finest partials, one raw scan
+        # (pipelines/relational.py:events_rollup)
+        "rel_events_rollup": """
+            SELECT event_type,
+                   date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM events
+            GROUP BY ROLLUP (event_type, day)
         """,
         "rel_distinct_users_by_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -690,3 +690,161 @@ def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
         return agg[["user_id", "session_id", "n_events", "first_event_id"]]
 
     return grouped_map(ds, "user_id", sessions)
+
+
+def purchase_attribution(
+    sf_dir: str, window_seconds: int = 86400
+) -> ray.data.Dataset:
+    """Range (interval) join, the two-relation kind: LEFT side = purchase
+    events, RIGHT side = the same user's NON-purchase events with
+    ``ts in [purchase.ts - window, purchase.ts)`` — the classic
+    attribution join. Output per purchase: (event_id, user_id,
+    n_attributed, attributed_cents), zeros when nothing precedes it
+    (left-join semantics).
+
+    Distinct from :func:`events_sliding_window` (a single-relation RANGE
+    window function): here two different relations are joined on an
+    equi-key PLUS an interval predicate. The at-scale shape is the one
+    every banded join reduces to — co-partition both sides on the
+    equi-key (one coarse-bucketed shuffle, ``stages/grouped.py``), then
+    inside each key group sort the right side once and answer every left
+    interval with two vectorized ``searchsorted`` probes + a prefix-sum
+    difference (no per-pair work, no per-row Python). The monetary sum
+    rides integer cents (fixed point) so the result is summation-order
+    independent — the same discipline as ``_event_cent_hist``.
+    """
+    from ..stages.grouped import grouped_map
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    win = np.timedelta64(window_seconds, "s")
+
+    def attrib(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"]
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_attributed": pd.Series([], dtype=np.int64),
+                    "attributed_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        right = g[g["event_type"] != "purchase"].sort_values("ts", kind="mergesort")
+        rts = right["ts"].to_numpy()
+        # 2-decimal values: *100 never lands on an exact .5, so rint
+        # (half-even) == DuckDB round (half-away) here, as in the hist
+        cents = np.rint(right["value"].to_numpy() * 100.0).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        pts = left["ts"].to_numpy()
+        lo = np.searchsorted(rts, pts - win, side="left")  # >= ts - window
+        hi = np.searchsorted(rts, pts, side="left")  # strictly < ts
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(),
+                "user_id": left["user_id"].to_numpy(),
+                "n_attributed": (hi - lo).astype(np.int64),
+                "attributed_cents": (csum[hi] - csum[lo]).astype(np.int64),
+            }
+        )
+
+    return grouped_map(ds, "user_id", attrib)
+
+
+def events_rollup(sf_dir: str) -> ray.data.Dataset:
+    """ROLLUP (grouping-sets) aggregate: (event_type, day) → count +
+    cents sum at THREE levels — (type, day), (type, ALL), (ALL, ALL) —
+    with SQL ROLLUP's NULL markers for rolled-up columns.
+
+    The at-scale shape is aggregate REUSE: the raw table is scanned
+    exactly once to build the finest level (per-batch pyarrow partials
+    → one small shuffle, the ``events_hourly`` pattern); every coarser
+    level is then re-aggregated FROM the finest result (|types| × |days|
+    rows), so rollup costs one pass regardless of how many levels the
+    hierarchy has. The driver only ever sees the single grand-total row.
+    ``event_type`` is non-nullable in the data, so the NULL markers are
+    unambiguous (the classic ROLLUP caveat does not bite here)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # the day key shuffles as int64 epoch-µs (timestamps as groupby
+        # keys round-trip through numpy with a lossy-precision warning);
+        # shape_fine casts back to timestamp at the output boundary
+        day_us = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="day"), pa.int64()
+        )
+        cents = np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day_us": day_us,
+                "cents": pa.array(cents),
+            }
+        )
+        return t.group_by(["event_type", "day_us"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day_us"])
+        .aggregate(
+            Sum("cents_sum", alias_name="cents"),
+            Sum("cents_count", alias_name="n"),
+        )
+    )
+
+    def shape_fine(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.cast(
+                    pc.cast(batch.column("day_us"), pa.int64()),
+                    pa.timestamp("us"),
+                ),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+                "cents": pc.cast(batch.column("cents"), pa.int64()),
+            }
+        )
+
+    # materialize the finest level (|types| × |days| rows — an already-
+    # aggregated, bounded result) so the three consumers below reuse its
+    # blocks instead of each lazily re-running the raw scan
+    fine = fine.map_batches(
+        shape_fine, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # coarser levels re-aggregate the (tiny) finest level — no rescan
+    lvl_type = fine.groupby("event_type").aggregate(
+        Sum("cents", alias_name="cents"), Sum("n", alias_name="n")
+    )
+
+    def shape_type(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pa.nulls(batch.num_rows, pa.timestamp("us")),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+                "cents": pc.cast(batch.column("cents"), pa.int64()),
+            }
+        )
+
+    lvl_type = lvl_type.map_batches(
+        shape_type, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    totals = fine.aggregate(
+        Sum("cents", alias_name="cents"), Sum("n", alias_name="n")
+    )
+    grand = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([None], pa.string()),
+                "day": pa.array([None], pa.timestamp("us")),
+                "n": pa.array([int(totals["n"])], pa.int64()),
+                "cents": pa.array([int(totals["cents"])], pa.int64()),
+            }
+        )
+    )
+    return fine.union(lvl_type).union(grand)
