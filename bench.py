@@ -141,6 +141,8 @@ def run_benchmarks() -> dict:
     bench("text_decontaminate", tx.decontaminate)
     bench("dedup_embed_lsh", dd.embedding_lsh_pairs)
     bench("text_shard_assign", sh.shard_assign)
+    bench("text_pack_sequences", sh.pack_sequences)
+    bench("text_stratified_sample", sh.stratified_sample)
     # end-to-end curation funnel (quality+lang filter → exact dedup →
     # LSH near-dup removal); _consume drives the survivors Dataset
     bench("curate_corpus", lambda sf: cu.curate_corpus(sf)[0])

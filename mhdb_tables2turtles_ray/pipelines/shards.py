@@ -125,3 +125,122 @@ def write_training_shards(
         sort_within=[_HK, id_col],
         drop_cols=[_HK, _SHARD],
     )
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = 256, n_shards: int = 8, seed: int = 42
+) -> ray.data.Dataset:
+    """Greedy fixed-token-budget sequence packing — the step between a
+    curated corpus and a training loader: each shard's seeded
+    permutation stream (the :func:`shard_assign` order) is chunked into
+    sequences of at most ``budget`` whitespace tokens, docs kept whole,
+    a doc longer than the budget forming its own sequence. Output per
+    doc: ``(doc_id, shard, seq, n_tokens)`` with ``seq`` 1-based per
+    shard — concatenating a shard's docs in (seq, position) order
+    replays the permutation in trainer-ready chunks.
+
+    The at-scale shape: token counts are ONE vectorized Arrow regex
+    pass and the ``text`` column is dropped BEFORE the shard exchange
+    (the shuffle carries three int64 columns and a 32-char key, not the
+    corpus); packing itself is per-shard — a local sort plus one
+    ``searchsorted`` per EMITTED SEQUENCE over the cumulative token sum
+    (O(#sequences) vectorized steps, no per-doc Python loop). Greedy
+    reset-on-overflow is inherently sequential, which is exactly why it
+    rides the already-partitioned shard stream instead of a global
+    order. The oracle replays the same greedy rule as a recursive CTE
+    (``rel_events_rollup``'s registry entry documents the levels
+    trick; here recursion depth = docs per shard)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), r"\S+")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        hks, shards = _assign_cols(df, "doc_id", seed, n_shards)
+        df[_HK] = hks
+        df["shard"] = shards
+        return df
+
+    def pack(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([_HK, "doc_id"], kind="mergesort")
+        tok = part["n_tokens"].to_numpy()
+        cum = np.cumsum(tok)
+        seq = np.empty(len(tok), np.int64)
+        start, base, s = 0, 0, 0
+        while start < len(tok):
+            s += 1
+            # last doc whose running total still fits the budget; a
+            # doc alone over budget is forced through as its own bin
+            j = int(np.searchsorted(cum, base + budget, side="right"))
+            if j <= start:
+                j = start + 1
+            seq[start:j] = s
+            base = int(cum[j - 1])
+            start = j
+        return pd.DataFrame(
+            {
+                "doc_id": part["doc_id"].to_numpy(),
+                "shard": part["shard"].to_numpy(),
+                "seq": seq,
+                "n_tokens": tok,
+            }
+        )
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+def stratified_sample(
+    sf_dir: str, k: int = 25, seed: int = 42
+) -> ray.data.Dataset:
+    """Deterministic seeded stratified sample: the ``k`` docs per
+    ``lang`` stratum with the smallest md5 permutation key — the
+    "give me a reproducible eval slice with every language present"
+    query. Output ``(lang, doc_id, rk)``, ``rk`` 1-based within the
+    stratum; two runs at ANY cluster size or block layout return the
+    identical sample, and a different seed is a different sample with
+    zero data movement beyond the same bounded merge.
+
+    The at-scale shape is partial top-k before the shuffle: each batch
+    keeps at most ``k`` rows per stratum (one vectorized sort +
+    ``groupby.head``), so the exchange carries ≤ strata × #batches × k
+    rows regardless of corpus size, and the per-stratum final merge
+    sees ≤ #batches × k rows — the :func:`detect_hot_keys` fixed-size
+    partial discipline applied to sampling."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df[_HK] = _seeded_hex(df["doc_id"].tolist(), seed)
+        df = df.sort_values([_HK, "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(k)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([_HK, "doc_id"], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "lang": part["lang"].to_numpy(),
+                "doc_id": part["doc_id"].to_numpy(),
+                "rk": np.arange(1, len(part) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )

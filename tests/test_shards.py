@@ -129,3 +129,87 @@ def test_hash_matches_oracle_convention():
     for h, s, i in zip(hks, shards, df["doc_id"]):
         assert h == hashlib.md5(f"{SEED}:{i}".encode()).hexdigest()
         assert s == int(h[:8], 16) % N_SHARDS
+
+
+def _pack(budget=256, seed=SEED):
+    from mhdb_tables2turtles_ray.pipelines.shards import pack_sequences
+
+    return (
+        pack_sequences(SF, budget=budget, n_shards=N_SHARDS, seed=seed)
+        .to_pandas()
+        .sort_values(["shard", "seq", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Every doc packed exactly once; per-(shard, seq) token totals
+    respect the budget unless the sequence is a single oversize doc;
+    seq numbers are contiguous from 1 within each shard."""
+    budget = 120
+    df = _pack(budget=budget)
+    assert set(df["doc_id"]) == _all_ids() and len(df) == len(_all_ids())
+    per_seq = df.groupby(["shard", "seq"]).agg(
+        total=("n_tokens", "sum"), n_docs=("n_tokens", "size")
+    )
+    over = per_seq[per_seq["total"] > budget]
+    assert (over["n_docs"] == 1).all()  # only forced-through oversize docs
+    for _, g in df.groupby("shard"):
+        seqs = sorted(g["seq"].unique())
+        assert seqs == list(range(1, len(seqs) + 1))
+
+
+def test_pack_sequences_replays_shard_assign_order(ray_session):
+    """Concatenating a shard's docs in (seq, permutation-key) order is
+    exactly the shard_assign permutation — packing only chunks it."""
+    from mhdb_tables2turtles_ray.pipelines.shards import shard_assign
+
+    assign = (
+        shard_assign(SF, n_shards=N_SHARDS, seed=SEED)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    df = _pack()
+    hk = {
+        i: hashlib.md5(f"{SEED}:{i}".encode()).hexdigest()
+        for i in df["doc_id"]
+    }
+    df["_hk"] = df["doc_id"].map(hk)
+    df = df.sort_values(["shard", "seq", "_hk", "doc_id"]).reset_index(drop=True)
+    assert df["doc_id"].tolist() == assign["doc_id"].tolist()
+    # seq is non-decreasing along each shard's permutation stream
+    for _, g in df.groupby("shard"):
+        assert (g["seq"].diff().dropna() >= 0).all()
+
+
+def test_stratified_sample_deterministic_and_seed_sensitive(ray_session):
+    from mhdb_tables2turtles_ray.pipelines.shards import stratified_sample
+
+    k = 10
+    a = (
+        stratified_sample(SF, k=k, seed=SEED)
+        .to_pandas()
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+    b = (
+        stratified_sample(SF, k=k, seed=SEED)
+        .to_pandas()
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # every stratum present with exactly k rows, ranks 1..k
+    for _, g in a.groupby("lang"):
+        assert g["rk"].tolist() == list(range(1, k + 1))
+    assert set(a["lang"]) == {"de", "en", "es", "fr", "zh"}
+    c = (
+        stratified_sample(SF, k=k, seed=SEED + 1)
+        .to_pandas()
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+    assert set(map(tuple, a[["lang", "doc_id"]].values)) != set(
+        map(tuple, c[["lang", "doc_id"]].values)
+    )
