@@ -103,12 +103,18 @@ def curate_corpus(
         empty = ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64())})
         )
-        return empty, {
+        summary = {
             "input": int(n_input),
             "after_quality_lang": 0,
             "after_exact_dedup": 0,
             "after_near_dedup": 0,
         }
+        if decontam_test_ds is not None:
+            # summary schema is a function of the ARGUMENTS, not of how
+            # many rows survived — callers read after_decontam whenever
+            # they passed a test set
+            summary["after_decontam"] = 0
+        return empty, summary
 
     def digest(batch: pa.Table) -> pa.Table:
         keys = [

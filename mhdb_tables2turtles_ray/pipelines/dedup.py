@@ -294,13 +294,25 @@ def minhash_lsh_pairs(
         """Light mode: ALL within-bucket pairs (no signature to estimate
         with here) — the verify pass filters by est_jaccard."""
         out_a, out_b = [], []
+        n_truncated = 0
         for _, group in part.groupby(["band", "band_hash"], sort=False):
             if len(group) < 2:
                 continue
+            if len(group) > max_bucket:
+                n_truncated += 1
             ids = np.sort(group["doc_id"].to_numpy())[:max_bucket]
             ia, ib = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ia])
             out_b.append(ids[ib])
+        if n_truncated:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh: truncated %d bucket(s) to max_bucket=%d "
+                "(skew guard; candidate pairs beyond the cap dropped)",
+                n_truncated,
+                max_bucket,
+            )
         if not out_a:
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
         return pd.DataFrame(

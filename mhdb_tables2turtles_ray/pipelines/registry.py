@@ -15,9 +15,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     samples the registry in order (observed cap ~50 in round 2, which
     silently skipped the last 5 oracled queries), so SQL-oracled
     queries come first and the total stays at exactly 50. As of round 4
-    ALL 50 entries are SQL-oracled — the former rows-only monitoring
-    entries were swapped, one at a time, for oracled operators, each
-    swap keeping the dropped surface fully covered by its own tests:
+    ALL 50 entries are SQL-oracled. Six swaps got here, each keeping
+    the dropped surface fully covered by its own tests — five retired
+    rows-only monitoring entries plus one redundant oracled entry
+    (``kg_subject_degree``, whose output is pinned identical to the
+    still-oracled ``kg_subject_degree_salted`` by
+    ``test_salted_count_equals_plain_count``; it made room for
+    ``rel_events_rollup``). The rows-only retirements:
     ``rel_approx_distinct_users`` (HLL — ``tests/test_sketch.py``) →
     ``text_decontaminate``; ``text_winnow`` (``tests/test_winnow.py``)
     → ``text_shard_assign``; ``rel_value_median_by_type`` (a strict
@@ -497,8 +501,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_sequences": r"""
             WITH RECURSIVE h AS (
               SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hk,
-                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
-                       AS n_tokens
+                     CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                       AS BIGINT) AS n_tokens
               FROM documents
             ),
             o AS (

@@ -57,6 +57,20 @@ def _assign_cols(df: pd.DataFrame, id_col: str, seed: int, n_shards: int):
     return hks, shards
 
 
+def _with_permutation_cols(
+    df: pd.DataFrame, id_col: str, seed: int, n_shards: int, shard_col: str
+) -> pd.DataFrame:
+    """Attach the permutation key (``_HK``) and shard assignment to a
+    batch — the ONE place the seeded-permutation columns are built
+    (shard_assign / write_training_shards / pack_sequences all ride
+    this; a key-scheme change lands everywhere at once)."""
+    df = df.copy(deep=False)
+    hks, shards = _assign_cols(df, id_col, seed, n_shards)
+    df[_HK] = hks
+    df[shard_col] = shards
+    return df
+
+
 def shard_assign(
     sf_dir: str, n_shards: int = 8, seed: int = 42
 ) -> ray.data.Dataset:
@@ -67,11 +81,7 @@ def shard_assign(
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
 
     def add(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        hks, shards = _assign_cols(df, "doc_id", seed, n_shards)
-        df[_HK] = hks
-        df["shard"] = shards
-        return df
+        return _with_permutation_cols(df, "doc_id", seed, n_shards, "shard")
 
     def rank(part: pd.DataFrame) -> pd.DataFrame:
         # one whole shard per group: local sort by the permutation key
@@ -109,11 +119,7 @@ def write_training_shards(
     from ..stages.parquet_sink import write_partitioned_parquet
 
     def add(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        hks, shards = _assign_cols(df, id_col, seed, n_shards)
-        df[_HK] = hks
-        df[_SHARD] = shards
-        return df
+        return _with_permutation_cols(df, id_col, seed, n_shards, _SHARD)
 
     return write_partitioned_parquet(
         ds.map_batches(add, batch_format="pandas"),
@@ -156,7 +162,12 @@ def pack_sequences(
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def count_tokens(batch: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(batch.column("text"), r"\S+")
+        # null text counts as 0 tokens BY RULE (the curate.py
+        # fused_filter convention) — without the coalesce, one null doc
+        # would NaN-poison the shard's cumulative sum and misassign
+        # every later seq in that shard
+        text = pc.coalesce(batch.column("text"), "")
+        n = pc.count_substring_regex(text, r"\S+")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -165,11 +176,7 @@ def pack_sequences(
         )
 
     def add(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        hks, shards = _assign_cols(df, "doc_id", seed, n_shards)
-        df[_HK] = hks
-        df["shard"] = shards
-        return df
+        return _with_permutation_cols(df, "doc_id", seed, n_shards, "shard")
 
     def pack(part: pd.DataFrame) -> pd.DataFrame:
         part = part.sort_values([_HK, "doc_id"], kind="mergesort")

@@ -11,9 +11,12 @@ approximate distinct count for every column at once.
 Min/max travel in NATIVE type lanes (int64 / float64 / string) and are
 only stringified at the output boundary: merging stringified numerics
 would compare lexicographically ("10" < "9") and corrupt the range.
-Timestamps ride the int64 lane as epoch-µs. Nested / binary columns
-profile counts and nulls only (no total order, no hashable values for
-the HLL) — their min/max/distinct are null, never a guess.
+Temporal columns ride the int64 lane in their OWN storage unit
+(epoch-µs for timestamp[us], epoch-ns for timestamp[ns], days for
+date32, ...) and are cast back to the column's actual Arrow type at
+render time — never assumed to be µs. Nested / binary columns profile
+counts and nulls only (no total order, no hashable values for the
+HLL) — their min/max/distinct are null, never a guess.
 """
 
 from __future__ import annotations
@@ -40,6 +43,14 @@ def _kind(t: pa.DataType) -> str:
     return _OTHER
 
 
+def _cast_i64(v, t: pa.DataType):
+    """Cast a scalar/array to int64; 32-bit-backed temporals (date32 /
+    time32) have no direct int64 cast and need an int32 hop."""
+    if pa.types.is_temporal(t) and t.bit_width == 32:
+        v = pc.cast(v, pa.int32())
+    return pc.cast(v, pa.int64())
+
+
 def _lane_value(col: pa.ChunkedArray, kind: str, agg: str):
     """Typed min or max of a column's non-null values (None if all null)."""
     mm = pc.min_max(col)
@@ -47,7 +58,7 @@ def _lane_value(col: pa.ChunkedArray, kind: str, agg: str):
     if not v.is_valid:
         return None
     if kind == _NUM_I:
-        return int(pc.cast(v, pa.int64()).as_py())
+        return int(_cast_i64(v, col.type).as_py())
     if kind == _NUM_F:
         return float(v.as_py())
     return str(v.as_py())
@@ -88,7 +99,7 @@ def profile_table(ds, columns: list[str] | None = None, p: int = 12) -> pa.Table
                 hll = HyperLogLog(p)
                 vals = col.drop_null()
                 if kind == _NUM_I:
-                    vals = pc.cast(vals, pa.int64())
+                    vals = _cast_i64(vals, col.type)
                 hll.add(vals.to_numpy(zero_copy_only=False))
                 regs.append(hll.registers.tobytes())
         return pa.table(
@@ -145,29 +156,40 @@ def profile_table(ds, columns: list[str] | None = None, p: int = 12) -> pa.Table
     ) else {}
 
     def present(name: str, key: str):
-        s = state[name]
-        v = s[key]
+        s = state.get(name)
+        v = s[key] if s else None
         if v is None:
             return None
-        if s["kind"] == _NUM_I and pa.types.is_temporal(
-            schema.get(name, pa.int64())
-        ):
-            return str(pa.scalar(v, pa.timestamp("us")).as_py())
+        t = schema.get(name)
+        if s["kind"] == _NUM_I and t is not None and pa.types.is_temporal(t):
+            # v is in the column's OWN storage unit (µs/ns/days/...):
+            # cast the raw int back through the column's actual type —
+            # 32-bit-backed temporals (date32/time32) need an int32 hop
+            arr = pa.array([v], pa.int64())
+            if t.bit_width == 32:
+                arr = arr.cast(pa.int32())
+            return str(arr.cast(t)[0].as_py())
         return str(v)
 
     def distinct(name: str):
-        s = state[name]
-        if s["regs"] is None:
+        s = state.get(name)
+        if s is None or s["regs"] is None:
             return None
         hll = HyperLogLog(p)
         hll.registers = s["regs"]
         return int(round(hll.estimate()))
 
+    def stat(name: str, key: str) -> int:
+        # a column never seen in any batch (empty dataset + explicit
+        # columns=) profiles as zero rows, not a KeyError
+        s = state.get(name)
+        return s[key] if s else 0
+
     return pa.table(
         {
             "column": pa.array(order, pa.string()),
-            "n": pa.array([state[c]["n"] for c in order], pa.int64()),
-            "n_null": pa.array([state[c]["n_null"] for c in order], pa.int64()),
+            "n": pa.array([stat(c, "n") for c in order], pa.int64()),
+            "n_null": pa.array([stat(c, "n_null") for c in order], pa.int64()),
             "approx_distinct": pa.array(
                 [distinct(c) for c in order], pa.int64()
             ),

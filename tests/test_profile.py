@@ -70,3 +70,44 @@ def test_profile_native_lane_merge(ray_session, tmp_path):
     assert (prof["s"]["min"], prof["s"]["max"]) == ("a", "c")
     assert prof["x"]["approx_distinct"] == 4
     assert prof["s"]["approx_distinct"] == 3
+
+
+def test_profile_temporal_units_and_date32(ray_session, tmp_path):
+    """Temporal min/max render in the column's OWN unit: timestamp[ns]
+    (pandas' default) and date32 (days) must round-trip exactly, not be
+    reinterpreted as epoch-µs."""
+    import datetime
+
+    t = pa.table(
+        {
+            "ts_ns": pa.array(
+                [
+                    datetime.datetime(2024, 1, 1, 12, 0, 0),
+                    datetime.datetime(2025, 6, 30, 23, 59, 59),
+                ],
+                pa.timestamp("ns"),
+            ),
+            "d": pa.array(
+                [datetime.date(2024, 1, 1), datetime.date(2025, 6, 30)],
+                pa.date32(),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    prof = _rows(profile_table(ray.data.read_parquet(str(tmp_path / "t.parquet"))))
+    assert prof["ts_ns"]["min"] == "2024-01-01 12:00:00"
+    assert prof["ts_ns"]["max"] == "2025-06-30 23:59:59"
+    assert prof["d"]["min"] == "2024-01-01"
+    assert prof["d"]["max"] == "2025-06-30"
+
+
+def test_profile_empty_dataset_explicit_columns(ray_session):
+    """An empty dataset with explicit columns yields zero-count rows,
+    not a KeyError."""
+    ds = ray.data.from_arrow(pa.table({"a": pa.array([], pa.int64())}))
+    prof = profile_table(ds.filter(lambda r: False), columns=["a"])
+    rows = prof.to_pylist()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["column"] == "a" and r["n"] == 0 and r["n_null"] == 0
+    assert r["min"] is None and r["max"] is None

@@ -213,3 +213,32 @@ def test_stratified_sample_deterministic_and_seed_sensitive(ray_session):
     assert set(map(tuple, a[["lang", "doc_id"]].values)) != set(
         map(tuple, c[["lang", "doc_id"]].values)
     )
+
+
+def test_pack_sequences_null_text_counts_zero(ray_session, tmp_path):
+    """Null text counts as 0 tokens BY RULE (the curate.py convention):
+    one null doc must not NaN-poison its shard's cumulative sum or
+    float-ify the n_tokens column."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b c", None, "d e", "f"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from mhdb_tables2turtles_ray.pipelines.shards import pack_sequences
+
+    df = (
+        pack_sequences(str(tmp_path), budget=4, n_shards=2, seed=SEED)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df["n_tokens"].dtype == "int64" and df["seq"].dtype == "int64"
+    assert df.loc[df["doc_id"] == 2, "n_tokens"].item() == 0
+    assert set(df["doc_id"]) == {1, 2, 3, 4}
+    # every sequence respects the budget (no doc here exceeds it)
+    per = df.groupby(["shard", "seq"])["n_tokens"].sum()
+    assert (per <= 4).all()
