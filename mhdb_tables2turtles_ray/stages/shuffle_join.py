@@ -23,6 +23,56 @@ _BUCKET = "__join_bucket"
 _SIDE = "__join_side"
 
 
+def _nullable_side_cols(how: str, left_cols, right_cols) -> list[str]:
+    """The output columns a given join type can NaN-fill."""
+    return {
+        "inner": [],
+        "left": list(right_cols),
+        "right": list(left_cols),
+        "outer": [*left_cols, *right_cols],
+    }[how]
+
+
+def _nullable_dtypes(ds, cols) -> dict:
+    """Plan-time output dtypes for the NaN-fillable columns of one join
+    side, derived from that side's schema: numeric → float64 (NaN is a
+    float), temporal → its own datetime64 (NaT), everything else →
+    object. Enforcing these in EVERY task keeps output block schemas
+    identical whether or not a particular bucket/batch happened to
+    contain an unmatched row — the divergence (int64 where all rows
+    matched, float64 where one didn't) otherwise breaks downstream
+    Arrow conversion on the mixed lineage."""
+    import pyarrow as pa
+
+    sch = ds.schema()
+    out = {}
+    for name, t in zip(sch.names, sch.types):
+        if name not in cols:
+            continue
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                out[name] = np.float64
+            elif pa.types.is_temporal(t):
+                out[name] = t.to_pandas_dtype()
+            else:
+                out[name] = object
+        else:
+            dt = np.dtype(t)
+            if np.issubdtype(dt, np.integer) or np.issubdtype(dt, np.floating):
+                out[name] = np.float64
+            elif np.issubdtype(dt, np.datetime64):
+                out[name] = dt
+            else:
+                out[name] = object
+    return out
+
+
+def _enforce_dtypes(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+    for c, dt in dtypes.items():
+        df[c] = df[c].astype(dt)
+    return df
+
+
 def hash_join(
     left,
     right,
@@ -35,9 +85,16 @@ def hash_join(
     salt: int = 8,
 ):
     """Join two Datasets on ``on``; output columns = [on] + left_cols +
-    right_cols. ``how``: "inner" or "left". Column names must not
-    collide across sides (rename upstream with a map_batches if they
-    do).
+    right_cols. ``how``: "inner", "left", "right" or "outer". Column
+    names must not collide across sides (rename upstream with a
+    map_batches if they do). Because the bucket exchange PARTITIONS the
+    key space (every row of a key lands in exactly one bucket), the
+    per-bucket pandas merge composes to the correct global join for
+    every ``how`` — an unmatched row is unmatched in its one bucket and
+    nowhere else. For right/outer the nullable side's integer columns
+    are normalized to float64 (pandas NaN semantics) in EVERY bucket,
+    not just the buckets that happened to have unmatched rows —
+    otherwise block schemas diverge by bucket.
 
     ``hot_keys`` + ``salt``: explicit skew handling — each listed hot
     key's LEFT rows spread across ``salt`` private sub-buckets (salted
@@ -45,10 +102,21 @@ def hash_join(
     while its RIGHT rows REPLICATE into all ``salt`` sub-buckets, so
     every left row still sees every match. Results are identical to the
     unsalted join (tested); only task balance changes. Use when one key
-    would otherwise exceed a single bucket task.
+    would otherwise exceed a single bucket task. Salting is only valid
+    when unmatched RIGHT rows never emit ("inner"/"left"): a replicated
+    right row that matches in one sub-bucket is unmatched in the other
+    salt-1, so right/outer would emit phantom null rows — rejected
+    loudly instead.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported join type: {how!r}")
+    if hot_keys and how in ("right", "outer"):
+        raise ValueError(
+            "hot_keys salting replicates right rows and would emit one "
+            "phantom unmatched row per extra sub-bucket under "
+            f"how={how!r}; salt the key upstream or use how='left' with "
+            "the sides swapped"
+        )
     all_cols = [on, *left_cols, *right_cols]
     hot_index = {k: i for i, k in enumerate(hot_keys)} if hot_keys else {}
 
@@ -95,10 +163,22 @@ def hash_join(
         )
     )
 
+    nullable = _nullable_side_cols(how, left_cols, right_cols)
+    nullable_dtypes = {
+        **_nullable_dtypes(left, [c for c in nullable if c in left_cols]),
+        **_nullable_dtypes(right, [c for c in nullable if c in right_cols]),
+    }
+
     def merge(part: pd.DataFrame) -> pd.DataFrame:
-        ldf = part[part[_SIDE] == 0][[on, *left_cols]]
-        rdf = part[part[_SIDE] == 1][[on, *right_cols]]
-        return ldf.merge(rdf, on=on, how=how)[all_cols]
+        # the union padded each side's absent columns with None (object
+        # dtype); infer_objects restores the native dtype of the REAL
+        # values before the merge, then the plan-time nullable dtypes
+        # are enforced so every bucket emits the same block schema
+        ldf = part[part[_SIDE] == 0][[on, *left_cols]].infer_objects()
+        rdf = part[part[_SIDE] == 1][[on, *right_cols]].infer_objects()
+        return _enforce_dtypes(
+            ldf.merge(rdf, on=on, how=how)[all_cols], nullable_dtypes
+        )
 
     return tagged.groupby(_BUCKET).map_groups(merge, batch_format="pandas")
 
@@ -175,14 +255,17 @@ def auto_join(
     switch so the scale-safe choice is the DEFAULT, not an option the
     caller must remember. ``right`` is materialized once up front
     (object-store-backed, spillable) so the count and the subsequent
-    broadcast/shuffle consumption execute its pipeline exactly once."""
-    if how not in ("inner", "left"):
-        # validate HERE, not just in hash_join: the broadcast path's
-        # per-left-batch pandas merge would silently re-emit unmatched
-        # right rows once per batch for right/outer joins
+    broadcast/shuffle consumption execute its pipeline exactly once.
+
+    ``how="right"``/``"outer"`` always take the shuffle path regardless
+    of size: the broadcast probe's per-left-batch pandas merge would
+    re-emit every unmatched right row once per batch (no global view of
+    which right keys matched SOME batch), so those semantics are only
+    expressible where the key space is partitioned."""
+    if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported join type: {how!r}")
     right = right.materialize()
-    if right.count() > broadcast_threshold:
+    if how in ("right", "outer") or right.count() > broadcast_threshold:
         return hash_join(
             left, right, on, left_cols, right_cols,
             num_buckets=num_buckets, how=how, hot_keys=hot_keys, salt=salt,
@@ -190,11 +273,21 @@ def auto_join(
     import ray
 
     all_cols = [on, *left_cols, *right_cols]
+    # how is "inner" or "left" here, so only right columns can be
+    # NaN-filled; enforce their plan-time dtypes per batch so a batch
+    # where every left row matched emits the same schema as one where
+    # a row didn't
+    nullable_dtypes = _nullable_dtypes(
+        right, _nullable_side_cols(how, left_cols, right_cols)
+    )
     ref = ray.put(right.select_columns([on, *right_cols]).to_pandas())
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         r = ray.get(ref)
-        return df[[on, *left_cols]].merge(r, on=on, how=how)[all_cols]
+        return _enforce_dtypes(
+            df[[on, *left_cols]].merge(r, on=on, how=how)[all_cols],
+            nullable_dtypes,
+        )
 
     return left.select_columns([on, *left_cols]).map_batches(
         probe, batch_format="pandas"

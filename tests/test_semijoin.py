@@ -133,7 +133,88 @@ def test_shuffle_hash_join(ray_session):
 
     with pytest.raises(ValueError):
         hash_join(left, right, on="k", left_cols=["a"], right_cols=["b"],
-                  how="outer")
+                  how="cross")
+
+
+def test_shuffle_hash_join_right_and_outer(ray_session):
+    """right/outer semantics across buckets: unmatched rows from the
+    nullable side(s) emit exactly once with NaN fills, and integer
+    columns from a nullable side are float64 in EVERY bucket (consistent
+    block schemas). Equality is pinned against pandas' own merge on the
+    same data."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.shuffle_join import (
+        auto_join,
+        hash_join,
+    )
+
+    ldf = pd.DataFrame({"k": [1, 1, 2, 3], "a": [10, 11, 20, 30]})
+    rdf = pd.DataFrame({"k": [1, 2, 2, 9], "b": [100, 200, 201, 900]})
+    left = ray.data.from_pandas(ldf).repartition(3)
+    right = ray.data.from_pandas(rdf).repartition(2)
+
+    for how in ("right", "outer"):
+        got = (
+            pd.DataFrame(
+                hash_join(left, right, on="k", left_cols=["a"],
+                          right_cols=["b"], num_buckets=8, how=how).take_all()
+            )
+            .sort_values(["k", "a", "b"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp = (
+            ldf.merge(rdf, on="k", how=how)[["k", "a", "b"]]
+            .sort_values(["k", "a", "b"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp["a"] = exp["a"].astype(np.float64)
+        if how == "outer":
+            exp["b"] = exp["b"].astype(np.float64)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+    # auto_join routes right/outer to the shuffle path even under the
+    # broadcast threshold — same rows as hash_join
+    oj = pd.DataFrame(
+        auto_join(left, right, on="k", left_cols=["a"], right_cols=["b"],
+                  how="outer", broadcast_threshold=10**6).take_all()
+    )
+    assert len(oj) == len(ldf.merge(rdf, on="k", how="outer"))
+    assert oj.loc[oj["k"] == 9, "a"].isna().all()
+    assert oj.loc[oj["k"] == 3, "b"].isna().all()
+
+    # salting is semantically invalid for right/outer: loud rejection
+    with pytest.raises(ValueError, match="phantom"):
+        hash_join(left, right, on="k", left_cols=["a"], right_cols=["b"],
+                  how="outer", hot_keys=[1])
+
+
+def test_shuffle_hash_join_left_schema_consistent_blocks(ray_session):
+    """A left join whose unmatched rows all land in ONE bucket must
+    still emit float64 right-side columns from every bucket — the
+    to_arrow conversion across mixed int64/float64 blocks is exactly
+    what diverging per-bucket dtypes break."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.shuffle_join import hash_join
+
+    # many matched keys + one unmatched key: with 8 buckets the matched
+    # buckets would emit int64 `b` without normalization
+    ldf = pd.DataFrame({"k": list(range(40)), "a": list(range(40))})
+    rdf = pd.DataFrame({"k": list(range(39)), "b": list(range(39))})
+    out = hash_join(
+        ray.data.from_pandas(ldf).repartition(4),
+        ray.data.from_pandas(rdf).repartition(4),
+        on="k", left_cols=["a"], right_cols=["b"], num_buckets=8, how="left",
+    )
+    t = out.to_pandas()
+    assert t["b"].dtype == np.float64
+    assert len(t) == 40 and t["b"].isna().sum() == 1
 
 
 def test_shuffle_hash_join_salted_matches_unsalted(ray_session):
