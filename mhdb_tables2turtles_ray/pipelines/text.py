@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..sources.tables import read_table
+from ..stages.sketch import mg_compress
 
 _TOKEN_RE = re.compile(r"\S+")
 _WS_RE = re.compile(r"\s+")
@@ -327,6 +328,99 @@ def top_tokens(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
+    )
+
+
+def heavy_hitter_tokens(
+    sf_dir: str, k: int = 20, capacity: int = 8192
+) -> ray.data.Dataset:
+    """(token, n) — exact top-k whitespace tokens computed WITHOUT a
+    token-keyed shuffle. :func:`top_tokens`' groupby exchange carries
+    one row per distinct token per block — fine for bounded vocabularies,
+    but a 100-TB web corpus's distinct-token space (URLs, hashes, typos)
+    is itself shuffle-sized. Here the exchange is FIXED-SIZE: per-batch
+    Misra-Gries summaries (≤ ``capacity`` rows each, ``stages/sketch.py:
+    mg_compress``) stream to the driver, which merges them into one
+    summary whose keys are the candidate set; a second
+    candidate-restricted pass (``pc.is_in`` against the ≤ capacity
+    candidates, so its per-batch partials are also ≤ capacity rows)
+    counts the candidates exactly. Total exchange: O(batches × capacity)
+    regardless of vocabulary size, and two passes over the text.
+
+    Guarantee (mergeable-summaries bound): any token with true count >
+    total_tokens/(capacity+1) survives every compress, so the result
+    equals the exact top-k whenever the k-th most frequent token clears
+    that bound — pinned against :func:`top_tokens` in tests. Below the
+    bound the top of the result is still exact for every token that made
+    candidacy; nothing is silently extrapolated (counts come from the
+    exact second pass, never from the sketch's decremented estimates)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def flat_tokens(batch: pa.Table) -> pa.Array:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        return pc.filter(flat, pc.not_equal(flat, ""))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        flat = flat_tokens(batch)
+        t = pa.table({"token": flat}).group_by(["token"]).aggregate(
+            [("token", "count")]
+        )
+        keys, counts = mg_compress(
+            t.column("token").to_numpy(zero_copy_only=False),
+            t.column("token_count").to_numpy().astype(np.int64),
+            capacity,
+        )
+        return pa.table(
+            {"token": pa.array(keys, pa.string()),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    # streamed driver merge, one ≤capacity partial resident at a time
+    acc = pd.Series(dtype=np.int64)
+    parts = ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        s = pd.Series(
+            b.column("n").to_numpy(), index=b.column("token").to_pylist()
+        )
+        acc = acc.add(s, fill_value=0)
+        if len(acc) > capacity:
+            keys, counts = mg_compress(
+                acc.index.to_numpy(), acc.to_numpy(), capacity
+            )
+            acc = pd.Series(counts, index=keys)
+    candidates = pa.array(sorted(acc.index), pa.string())
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        flat = flat_tokens(batch)
+        flat = pc.filter(flat, pc.is_in(flat, value_set=candidates))
+        return pa.table({"token": flat}).group_by(["token"]).aggregate(
+            [("token", "count")]
+        )
+
+    exact = pd.Series(dtype=np.int64)
+    cparts = ds.map_batches(
+        count_candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in cparts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        s = pd.Series(
+            b.column("token_count").to_numpy().astype(np.int64),
+            index=b.column("token").to_pylist(),
+        )
+        exact = exact.add(s, fill_value=0)
+    out = (
+        pd.DataFrame({"token": exact.index, "n": exact.astype(np.int64)})
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {"token": pa.array(out["token"], pa.string()),
+             "n": pa.array(out["n"], pa.int64())}
+        )
     )
 
 

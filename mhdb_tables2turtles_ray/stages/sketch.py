@@ -89,3 +89,22 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
                 out=merged.registers,
             )
     return merged.estimate()
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra-Gries decrement: compress a counter set to ≤ ``capacity``
+    entries by subtracting the (capacity+1)-th largest count from every
+    counter and dropping the non-positive. Each surviving estimate
+    undercounts its true frequency by at most the total amount ever
+    subtracted, which over any merge sequence is bounded by
+    N/(capacity+1) — so any key with true count above that bound can
+    never be evicted. Mergeable: summing two summaries and compressing
+    again preserves the bound (Agarwal et al., "Mergeable Summaries",
+    PODS 2012)."""
+    if len(keys) <= capacity:
+        return keys, counts
+    t = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1
+    ]
+    keep = counts > t
+    return keys[keep], counts[keep] - t
