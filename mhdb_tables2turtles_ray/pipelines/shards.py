@@ -251,3 +251,59 @@ def stratified_sample(
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def resample_corpus(
+    sf_dir: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    default_weight: float = 1.0,
+) -> ray.data.Dataset:
+    """(doc_id, lang, copy) — deterministic weighted resampling, the
+    data-mixing step of a training pipeline (down-weight an
+    over-represented language, up-weight a scarce one, "temperature"
+    rebalancing). Each document's stratum weight ``w = weights.get(lang,
+    default_weight)`` yields ``floor(w)`` full copies plus one more iff
+    ``frac(w) > u(doc)``, where ``u = int(md5(f"{seed}:{doc_id}")[:8],
+    16) / 2^32`` — the same cross-engine md5 'random' used by the shard
+    permutation, so expectation equals the weight exactly while the
+    realized sample is a PURE per-row function: no coordination, no
+    shuffle, byte-identical at any cluster size or block layout, and a
+    rerun with a new seed is a fresh draw. ``copy`` numbers a doc's
+    replicas 0..r-1 so downstream shard assignment can separate them
+    (e.g. key the permutation on (doc_id, copy)).
+
+    Emits ids only (join text back downstream) — at 100 TB the resample
+    decision should never move document payloads that are about to be
+    dropped."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    wmap = {k: float(v) for k, v in weights.items()}
+    for lang, w in wmap.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {lang!r}: {w}")
+    if default_weight < 0:
+        raise ValueError(f"negative default_weight: {default_weight}")
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        hks = _seeded_hex(df["doc_id"].tolist(), seed)
+        u = np.fromiter(
+            (int(h[:8], 16) for h in hks), np.float64, len(hks)
+        ) / 2.0**32
+        w = (
+            df["lang"]
+            .map(lambda l: wmap.get(l, default_weight))
+            .to_numpy(dtype=np.float64)
+        )
+        base = np.floor(w)
+        reps = (base + (w - base > u)).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), reps)
+        out = df.iloc[idx][["doc_id", "lang"]].reset_index(drop=True)
+        # within-doc replica index 0..r-1: global position minus the
+        # first position of each doc's run
+        starts = np.cumsum(reps) - reps
+        out["copy"] = np.arange(len(out), dtype=np.int64) - np.repeat(
+            starts, reps
+        )
+        return out
+
+    return ds.map_batches(rep, batch_format="pandas")

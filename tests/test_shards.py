@@ -242,3 +242,64 @@ def test_pack_sequences_null_text_counts_zero(ray_session, tmp_path):
     # every sequence respects the budget (no doc here exceeds it)
     per = df.groupby(["shard", "seq"])["n_tokens"].sum()
     assert (per <= 4).all()
+
+
+def _expected_reps(doc_id, lang, weights, seed, default=1.0):
+    import hashlib as _h
+    import math
+
+    w = float(weights.get(lang, default))
+    u = int(_h.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16) / 2.0**32
+    return int(math.floor(w)) + (1 if (w - math.floor(w)) > u else 0)
+
+
+def test_resample_corpus_rule_and_determinism(ray_session, sf_small):
+    """Every doc's replica count matches the md5-threshold rule exactly
+    (downsample AND upsample), copies number 0..r-1, and two runs are
+    identical while a seed change redraws."""
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.pipelines.shards import resample_corpus
+
+    weights = {"en": 0.4, "de": 2.5}
+    langs = dict(
+        zip(
+            pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "lang"])
+            .column("doc_id").to_pylist(),
+            pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "lang"])
+            .column("lang").to_pylist(),
+        )
+    )
+    df = resample_corpus(sf_small, weights, seed=7).to_pandas()
+    got = df.groupby("doc_id")["copy"].agg(["count", "min", "max"])
+    for doc_id, lang in langs.items():
+        r = _expected_reps(doc_id, lang, weights, 7)
+        if r == 0:
+            assert doc_id not in got.index
+        else:
+            row = got.loc[doc_id]
+            assert row["count"] == r and row["min"] == 0 and row["max"] == r - 1
+    again = resample_corpus(sf_small, weights, seed=7).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values(["doc_id", "copy"]).reset_index(drop=True),
+        again.sort_values(["doc_id", "copy"]).reset_index(drop=True),
+    )
+    other = resample_corpus(sf_small, weights, seed=8).to_pandas()
+    assert set(other["doc_id"]) != set(df["doc_id"])
+
+
+def test_resample_corpus_identity_and_validation(ray_session, sf_small):
+    """default_weight=1.0 with no overrides is the identity sample;
+    negative weights are rejected loudly."""
+    import pytest
+
+    from mhdb_tables2turtles_ray.pipelines.shards import resample_corpus
+
+    df = resample_corpus(sf_small, {}, seed=3).to_pandas()
+    n_docs = len(df)
+    assert (df["copy"] == 0).all()
+    import pyarrow.parquet as pq
+
+    assert n_docs == pq.read_metadata(f"{sf_small}/documents.parquet").num_rows
+    with pytest.raises(ValueError, match="negative"):
+        resample_corpus(sf_small, {"en": -0.1})
