@@ -424,6 +424,104 @@ def heavy_hitter_tokens(
     )
 
 
+def bm25_score(
+    sf_dir: str, query: str, k1: float = 1.2, b: float = 0.75
+) -> ray.data.Dataset:
+    """(doc_id, score) — Okapi BM25 relevance of every matching document
+    against ``query`` (lowercased whitespace terms), the ranking-side
+    complement of the embedding ANN family for lexical retrieval over a
+    training corpus.
+
+    Two passes, both scale-shaped. Pass 1 streams ONE fixed-size row per
+    batch to the driver — (n_docs, total_tokens, df per query term); the
+    exchange is O(batches × |query|), never the vocabulary (a full
+    DF table would be a token shuffle — the point of query-restricted
+    BM25 is that only the query's terms need document frequencies).
+    Pass 2 is a pure map: per-batch vectorized term counts
+    (``pc.equal`` + ``np.bincount`` per term over the flattened token
+    list) score every doc against the broadcast (N, avgdl, df) stats;
+    docs containing no query term are dropped. Scores use the Lucene
+    idf form ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and are rounded
+    half-away to 6 decimals at the output boundary. Output is unsorted
+    (streaming); compose with a sort().limit(k) for top-k retrieval."""
+    from ..functions.numeric import round_half_away
+
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("query has no terms")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _doc_term_stats(batch: pa.Table):
+        """(dl, tf_matrix) — per-doc token count and per-term counts."""
+        text = pc.utf8_lower(pc.coalesce(batch.column("text"), ""))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy()
+        n = len(batch)
+        dl = np.bincount(parents, weights=nonempty, minlength=n).astype(
+            np.int64
+        )
+        tf = np.empty((len(terms), n), dtype=np.int64)
+        for i, t in enumerate(terms):
+            hits = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf[i] = np.bincount(parents, weights=hits, minlength=n).astype(
+                np.int64
+            )
+        return dl, tf
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tf = _doc_term_stats(batch)
+        cols = {
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "total_tokens": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for i in range(len(terms)):
+            cols[f"df_{i}"] = pa.array([int((tf[i] > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    n_docs, total_tokens = 0, 0
+    df = np.zeros(len(terms), dtype=np.int64)
+    parts = ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for bt in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n_docs += int(pc.sum(bt.column("n_docs")).as_py())
+        total_tokens += int(pc.sum(bt.column("total_tokens")).as_py())
+        for i in range(len(terms)):
+            df[i] += int(pc.sum(bt.column(f"df_{i}")).as_py())
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        )
+    avgdl = total_tokens / n_docs
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl, tf = _doc_term_stats(batch)
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl)  # (n,)
+        s = np.zeros(len(batch), dtype=np.float64)
+        for i in range(len(terms)):
+            tfi = tf[i].astype(np.float64)
+            s += idf[i] * tfi * (k1 + 1.0) / (tfi + denom_dl)
+        keep = tf.sum(axis=0) > 0
+        return pa.table(
+            {
+                "doc_id": pc.filter(
+                    batch.column("doc_id"), pa.array(keep)
+                ),
+                "score": pa.array(
+                    round_half_away(s[keep], 6), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def length_histogram(sf_dir: str, bucket_chars: int = 100) -> ray.data.Dataset:
     """(bucket, n_docs) — document-length histogram (bucket = floor of
     char count / ``bucket_chars``). Partial per-batch combine; the final

@@ -145,3 +145,72 @@ def test_bpe_ish_subtoken_count_diverges_and_matches_duckdb(ray_session):
     assert ours_sub == duck
     assert ours_sub[0] > ours_ws[0]  # punctuation splits segments
     assert ours_sub[3] == 5 and ours_ws[3] == 1
+
+
+def test_bm25_score_matches_reference(ray_session, sf_small):
+    """BM25 scores equal a direct single-process reference computation
+    (same tokenization, Lucene idf, same rounding) on the real corpus."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.functions.numeric import round_half_away
+    from mhdb_tables2turtles_ray.pipelines.text import bm25_score
+
+    query = "the scan batch"
+    k1, b = 1.2, 0.75
+    t = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        d: ((x or "").lower().split())
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    terms = sorted(set(query.lower().split()))
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    df = {w: sum(1 for v in docs.values() if w in v) for w in terms}
+    idf = {w: math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5)) for w in terms}
+    exp = {}
+    for d, toks in docs.items():
+        dl = len(toks)
+        s = 0.0
+        hit = False
+        for w in terms:
+            tf = toks.count(w)
+            hit = hit or tf > 0
+            s += idf[w] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        if hit:
+            exp[d] = float(round_half_away(np.array([s]), 6)[0])
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score(sf_small, query, k1=k1, b=b).take_all()
+    }
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_bm25_score_validation_and_null_text(ray_session, tmp_path):
+    """Empty query rejected; null-text docs score as empty docs (0
+    tokens) and never match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mhdb_tables2turtles_ray.pipelines.text import bm25_score
+
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_score("/root/testdata/sf0.001", "   ")
+
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([1, 2, 3], pa.int64()),
+             "text": pa.array(["alpha beta", None, "beta beta"], pa.string())}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = bm25_score(str(tmp_path), "beta").take_all()
+    ids = {r["doc_id"] for r in rows}
+    assert ids == {1, 3}
+    by = {r["doc_id"]: r["score"] for r in rows}
+    assert by[3] > by[1] > 0  # higher tf, shorter doc wins
