@@ -167,3 +167,74 @@ def curate_corpus(
         ).materialize()
         summary["after_decontam"] = int(survivors.count())
     return survivors, summary
+
+
+def prepare_training_data(
+    sf_dir: str,
+    out_dir: str,
+    weights: dict[str, float] | None = None,
+    default_weight: float = 1.0,
+    n_shards: int = 8,
+    seed: int = 42,
+    resume: bool = True,
+    **curate_kwargs,
+) -> dict:
+    """The WHOLE training-data prep flow, end to end: curate (quality +
+    language filter → exact dedup → near-dup removal [→
+    decontamination]) → weighted language resampling → deterministic
+    seeded shard write. Returns the funnel summary extended with
+    ``after_resample`` and the shard-write summary (written / skipped /
+    n_rows).
+
+    Shuffle budget: curation's internal exchanges + exactly ONE
+    payload exchange (the shard write's permutation). The resample step
+    adds ZERO data movement — it is the pure per-row
+    ``shards.resample_batch`` rule applied inline on the text-bearing
+    stream, replicas keyed by a synthetic ``uid = doc_id * 2^16 +
+    copy`` so each replica gets its own permutation position (an
+    upsampled doc's copies land in DIFFERENT shards, which is exactly
+    what an epoch-level mixer wants). Output shards carry (uid,
+    doc_id, copy, lang, text).
+    """
+    from ..stages.semijoin import build_key_filter, semi_join
+    from .shards import _validate_weights, resample_batch, write_training_shards
+
+    wmap = _validate_weights(weights or {}, default_weight)
+    survivors, summary = curate_corpus(sf_dir, **curate_kwargs)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    skeys = build_key_filter(survivors, "doc_id")
+    import ray
+
+    curated = semi_join(docs, "doc_id", ray.put(skeys))
+
+    def mix(df):
+        out = resample_batch(df, wmap, default_weight, seed)
+        if len(out):
+            too_big = int(out["copy"].max())
+            if too_big >= 1 << 16:
+                raise ValueError(
+                    f"copy index {too_big} overflows the uid scheme "
+                    "(doc_id * 2^16 + copy); cap weights below 65536"
+                )
+        out["uid"] = out["doc_id"].to_numpy() * (1 << 16) + out[
+            "copy"
+        ].to_numpy()
+        return out[["uid", "doc_id", "copy", "lang", "text"]]
+
+    mixed = curated.map_batches(mix, batch_format="pandas")
+    write_summary = write_training_shards(
+        mixed, out_dir, id_col="uid", n_shards=n_shards, seed=seed,
+        resume=resume,
+    )
+    # n_rows counts rows written THIS run: on a resumed run with
+    # already-finished shards it is a partial count, so only claim the
+    # funnel number when every shard was actually (re)written — never
+    # count the stream itself, which would re-execute curate+mix just
+    # for observability
+    if write_summary["skipped"]:
+        summary["after_resample"] = None
+    else:
+        summary["after_resample"] = int(write_summary["n_rows"])
+    summary["shards"] = write_summary
+    return summary

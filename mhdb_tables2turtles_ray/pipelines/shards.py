@@ -277,33 +277,54 @@ def resample_corpus(
     decision should never move document payloads that are about to be
     dropped."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    wmap = _validate_weights(weights, default_weight)
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        return resample_batch(df, wmap, default_weight, seed)
+
+    return ds.map_batches(rep, batch_format="pandas")
+
+
+def _validate_weights(weights: dict[str, float], default_weight: float):
     wmap = {k: float(v) for k, v in weights.items()}
     for lang, w in wmap.items():
         if w < 0:
             raise ValueError(f"negative weight for {lang!r}: {w}")
     if default_weight < 0:
         raise ValueError(f"negative default_weight: {default_weight}")
+    return wmap
 
-    def rep(df: pd.DataFrame) -> pd.DataFrame:
-        hks = _seeded_hex(df["doc_id"].tolist(), seed)
-        u = np.fromiter(
-            (int(h[:8], 16) for h in hks), np.float64, len(hks)
-        ) / 2.0**32
-        w = (
-            df["lang"]
-            .map(lambda l: wmap.get(l, default_weight))
-            .to_numpy(dtype=np.float64)
-        )
-        base = np.floor(w)
-        reps = (base + (w - base > u)).astype(np.int64)
-        idx = np.repeat(np.arange(len(df)), reps)
-        out = df.iloc[idx][["doc_id", "lang"]].reset_index(drop=True)
-        # within-doc replica index 0..r-1: global position minus the
-        # first position of each doc's run
-        starts = np.cumsum(reps) - reps
-        out["copy"] = np.arange(len(out), dtype=np.int64) - np.repeat(
-            starts, reps
-        )
-        return out
 
-    return ds.map_batches(rep, batch_format="pandas")
+def resample_batch(
+    df: pd.DataFrame,
+    wmap: dict[str, float],
+    default_weight: float,
+    seed: int,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> pd.DataFrame:
+    """The :func:`resample_corpus` rule applied to ONE batch, keeping
+    every input column: floor(w) copies + md5-threshold fractional
+    copy, ``copy`` numbering each row's replicas 0..r-1. Pure per-row
+    function — composable inline on a text-bearing dataset so the mix
+    step adds ZERO joins/shuffles (``curate.prepare_training_data``)."""
+    hks = _seeded_hex(df[id_col].tolist(), seed)
+    u = np.fromiter(
+        (int(h[:8], 16) for h in hks), np.float64, len(hks)
+    ) / 2.0**32
+    w = (
+        df[stratum_col]
+        .map(lambda l: wmap.get(l, default_weight))
+        .to_numpy(dtype=np.float64)
+    )
+    base = np.floor(w)
+    reps = (base + (w - base > u)).astype(np.int64)
+    idx = np.repeat(np.arange(len(df)), reps)
+    out = df.iloc[idx].reset_index(drop=True)
+    # within-row replica index 0..r-1: global position minus the
+    # first position of each row's run
+    starts = np.cumsum(reps) - reps
+    out["copy"] = np.arange(len(out), dtype=np.int64) - np.repeat(
+        starts, reps
+    )
+    return out

@@ -157,3 +157,68 @@ def test_curate_decontamination_stage(ray_session):
     survivors2, summary2 = curate_corpus(ds=ds, min_tokens=3, langs=["en"])
     assert "after_decontam" not in summary2
     assert {r["doc_id"] for r in survivors2.take_all()} == {1, 2}
+
+
+def test_prepare_training_data_end_to_end(ray_session, tmp_path):
+    """curate → resample → shard write: output shards contain exactly
+    the curated survivors replicated by the md5-weight rule, replicas
+    carry distinct uids, shard files are deterministic across reruns,
+    and resume skips finished shards."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.pipelines.curate import (
+        curate_corpus,
+        prepare_training_data,
+    )
+    from tests.test_shards import _expected_reps
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    weights = {"en": 2.25}
+    summary = prepare_training_data(
+        sf, out, weights=weights, n_shards=4, seed=9,
+        langs=("en", "de", "fr"),
+    )
+    assert summary["after_resample"] is not None
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(summary["shards"]["written"]) == len(files)
+    assert summary["shards"]["skipped"] == []  # all written fresh
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert set(df.columns) == {"uid", "doc_id", "copy", "lang", "text"}
+    assert summary["after_resample"] == len(df)
+
+    # replica counts follow the rule applied to the curated survivors
+    survivors_ds, _ = curate_corpus(sf, langs=("en", "de", "fr"))
+    survivors = {r["doc_id"] for r in survivors_ds.take_all()}
+    langs = dict(zip(df["doc_id"], df["lang"]))
+    got = df.groupby("doc_id")["copy"].agg(["count", "min", "max"])
+    assert set(got.index) <= survivors
+    for d in survivors:
+        r = _expected_reps(d, langs.get(d, "?"), weights, 9)
+        if d in got.index:
+            row = got.loc[d]
+            assert row["count"] == r and row["min"] == 0 and row["max"] == r - 1
+        else:
+            assert r == 0 or langs.get(d) is None
+    # uids distinct; an upsampled doc's copies spread across shards runs
+    assert df["uid"].is_unique
+
+    # rerun into a fresh dir: byte-identical shard files
+    out2 = str(tmp_path / "shards2")
+    prepare_training_data(
+        sf, out2, weights=weights, n_shards=4, seed=9,
+        langs=("en", "de", "fr"),
+    )
+    for f1, f2 in zip(files, sorted(glob.glob(f"{out2}/*.parquet"))):
+        assert open(f1, "rb").read() == open(f2, "rb").read()
+
+    # resume: rerun into the SAME dir skips everything
+    summary3 = prepare_training_data(
+        sf, out, weights=weights, n_shards=4, seed=9,
+        langs=("en", "de", "fr"),
+    )
+    assert len(summary3["shards"]["skipped"]) == 4
+    assert summary3["after_resample"] is None  # honest partial-count rule
