@@ -143,6 +143,11 @@ def run_benchmarks() -> dict:
     bench("text_shard_assign", sh.shard_assign)
     bench("text_pack_sequences", sh.pack_sequences)
     bench("text_stratified_sample", sh.stratified_sample)
+    bench("text_heavy_hitters", lambda sf: tx.heavy_hitter_tokens(sf, k=20))
+    bench("text_bm25", lambda sf: tx.bm25_score(sf, "hash join scan"))
+    bench("text_chunk", lambda sf: tx.chunk_documents(sf, max_tokens=64, overlap=8))
+    bench("text_encode", lambda sf: tx.encode_documents(sf, vocab_size=4096)[0])
+    bench("text_resample", lambda sf: sh.resample_corpus(sf, {"en": 1.5, "de": 0.5}))
     # end-to-end curation funnel (quality+lang filter → exact dedup →
     # LSH near-dup removal); _consume drives the survivors Dataset
     bench("curate_corpus", lambda sf: cu.curate_corpus(sf)[0])
