@@ -200,10 +200,32 @@ def prepare_training_data(
     from .shards import _validate_weights, resample_batch, write_training_shards
 
     wmap = _validate_weights(weights or {}, default_weight)
+    caller_ds = curate_kwargs.get("ds")
     survivors, summary = curate_corpus(sf_dir, **curate_kwargs)
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    skeys = build_key_filter(survivors, "doc_id")
+    if caller_ds is not None:
+        # curation ran on the caller's dataset — the mix step must pull
+        # text from the SAME source, or survivor ids would be joined
+        # against unrelated sf_dir documents (wrong text, silent drops)
+        names = (caller_ds.schema() or pa.schema([])).names
+        missing = {"doc_id", "lang", "text"} - set(names)
+        if missing:
+            raise ValueError(
+                "ds passed to prepare_training_data must carry "
+                f"doc_id/lang/text for the mix step; missing {sorted(missing)}"
+            )
+        docs = caller_ds
+    else:
+        docs = read_table(
+            sf_dir, "documents", columns=["doc_id", "lang", "text"]
+        )
+    # exact_threshold=None: the keep-filter must be EXACT at any scale —
+    # a Bloom filter's false positives would readmit curated-OUT docs
+    # (near-dups, wrong-language, and docs decontamination explicitly
+    # dropped) into training shards, voiding the funnel's guarantees
+    # (same rule as the anti joins in dedup_keep_best_lsh and the
+    # decontam stage above)
+    skeys = build_key_filter(survivors, "doc_id", exact_threshold=None)
     import ray
 
     curated = semi_join(docs, "doc_id", ray.put(skeys))

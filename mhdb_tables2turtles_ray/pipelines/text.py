@@ -27,17 +27,28 @@ _TOKEN_RE = re.compile(r"\S+")
 _WS_RE = re.compile(r"\s+")
 
 
-def _marker_hits(text_col, value_sets: list[pa.Array]) -> list[np.ndarray]:
-    """Per-row counts of tokens falling in each marker set, vectorized.
-
-    One Arrow split → flatten, then one ``pc.is_in`` + ``np.bincount``
-    per set. Arrow's regex (RE2) has no lookarounds, so exact-token
-    membership can't be a count_substring_regex pattern — split+is_in is
-    the vectorized equivalent. Null texts contribute zero tokens (their
-    list is null, so no flattened values carry their parent index)."""
-    toks = pc.split_pattern_regex(text_col, r"\s+")
+def _flat_tokens(text_col):
+    """THE tokenization of the text family, in one place: null → "",
+    whitespace split (Arrow RE2 — no lookarounds, so exact-token work
+    downstream is is_in/equal over the flat array, never a lookaround
+    pattern), flatten, drop empty tokens. Returns ``(flat, parents)`` —
+    the flattened token array and each token's row index — so callers
+    bincount per-row stats and never loop rows. Every operator that
+    counts or matches whitespace tokens MUST ride this helper: five
+    independent copies of the split→flatten→filter block is how token
+    semantics silently diverge."""
+    toks = pc.split_pattern_regex(pc.coalesce(text_col, ""), r"\s+")
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return pc.filter(flat, pa.array(keep)), parents[keep]
+
+
+def _marker_hits(text_col, value_sets: list[pa.Array]) -> list[np.ndarray]:
+    """Per-row counts of tokens falling in each marker set, vectorized:
+    one ``pc.is_in`` + ``np.bincount`` per set over the shared flat
+    tokenization. Null texts contribute zero tokens."""
+    flat, parents = _flat_tokens(text_col)
     n = len(text_col)
     return [
         np.bincount(
@@ -310,9 +321,7 @@ def top_tokens(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
-        flat = pc.list_flatten(toks)
-        flat = pc.filter(flat, pc.not_equal(flat, ""))
+        flat, _ = _flat_tokens(batch.column("text"))
         t = pa.table({"token": flat})
         return t.group_by(["token"]).aggregate([("token", "count")])
 
@@ -358,13 +367,8 @@ def heavy_hitter_tokens(
 
     ds = read_table(sf_dir, "documents", columns=["text"])
 
-    def flat_tokens(batch: pa.Table) -> pa.Array:
-        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
-        flat = pc.list_flatten(toks)
-        return pc.filter(flat, pc.not_equal(flat, ""))
-
     def summarize(batch: pa.Table) -> pa.Table:
-        flat = flat_tokens(batch)
+        flat, _ = _flat_tokens(batch.column("text"))
         t = pa.table({"token": flat}).group_by(["token"]).aggregate(
             [("token", "count")]
         )
@@ -385,7 +389,11 @@ def heavy_hitter_tokens(
         s = pd.Series(
             b.column("n").to_numpy(), index=b.column("token").to_pylist()
         )
-        acc = acc.add(s, fill_value=0)
+        # a duplicated index label would make Series.add keep BOTH rows
+        # (not sum them) and corrupt every later merge — never assume a
+        # yielded batch maps 1:1 to one summarize() output block
+        s = s.groupby(level=0).sum()
+        acc = acc.add(s, fill_value=0).astype(np.int64)
         if len(acc) > capacity:
             keys, counts = mg_compress(
                 acc.index.to_numpy(), acc.to_numpy(), capacity
@@ -394,7 +402,7 @@ def heavy_hitter_tokens(
     candidates = pa.array(sorted(acc.index), pa.string())
 
     def count_candidates(batch: pa.Table) -> pa.Table:
-        flat = flat_tokens(batch)
+        flat, _ = _flat_tokens(batch.column("text"))
         flat = pc.filter(flat, pc.is_in(flat, value_set=candidates))
         return pa.table({"token": flat}).group_by(["token"]).aggregate(
             [("token", "count")]
@@ -409,7 +417,8 @@ def heavy_hitter_tokens(
             b.column("token_count").to_numpy().astype(np.int64),
             index=b.column("token").to_pylist(),
         )
-        exact = exact.add(s, fill_value=0)
+        s = s.groupby(level=0).sum()  # same duplicate-label hazard
+        exact = exact.add(s, fill_value=0).astype(np.int64)
     out = (
         pd.DataFrame({"token": exact.index, "n": exact.astype(np.int64)})
         .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
@@ -453,15 +462,9 @@ def bm25_score(
 
     def _doc_term_stats(batch: pa.Table):
         """(dl, tf_matrix) — per-doc token count and per-term counts."""
-        text = pc.utf8_lower(pc.coalesce(batch.column("text"), ""))
-        toks = pc.split_pattern_regex(text, r"\s+")
-        flat = pc.list_flatten(toks)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        parents = pc.list_parent_indices(toks).to_numpy()
+        flat, parents = _flat_tokens(pc.utf8_lower(batch.column("text")))
         n = len(batch)
-        dl = np.bincount(parents, weights=nonempty, minlength=n).astype(
-            np.int64
-        )
+        dl = np.bincount(parents, minlength=n).astype(np.int64)
         tf = np.empty((len(terms), n), dtype=np.int64)
         for i, t in enumerate(terms):
             hits = pc.equal(flat, t).to_numpy(zero_copy_only=False)
@@ -550,13 +553,7 @@ def chunk_documents(
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def chunk(batch: pa.Table) -> pa.Table:
-        text = pc.coalesce(batch.column("text"), "")
-        toks = pc.split_pattern_regex(text, r"\s+")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy()
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = pc.filter(flat, pa.array(keep))
-        parents = parents[keep]
+        flat, parents = _flat_tokens(batch.column("text"))
         n = len(batch)
         n_toks = np.bincount(parents, minlength=n).astype(np.int64)
         if len(parents) == 0:
@@ -659,13 +656,7 @@ def encode_documents(
 
     def encode(batch: pa.Table) -> pa.Table:
         tokens_in_rank_order = ray.get(vocab_ref)
-        text = pc.coalesce(batch.column("text"), "")
-        toks = pc.split_pattern_regex(text, r"\s+")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy()
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = pc.filter(flat, pa.array(keep))
-        parents = parents[keep]
+        flat, parents = _flat_tokens(batch.column("text"))
         n = len(batch)
         # rank index (0-based) or null → +1 → null→0 (UNK)
         ids = pc.add(

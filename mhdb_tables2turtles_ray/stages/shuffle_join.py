@@ -41,10 +41,21 @@ def _nullable_dtypes(ds, cols) -> dict:
     identical whether or not a particular bucket/batch happened to
     contain an unmatched row — the divergence (int64 where all rows
     matched, float64 where one didn't) otherwise breaks downstream
-    Arrow conversion on the mixed lineage."""
+    Arrow conversion on the mixed lineage.
+
+    Returns {} without touching the dataset when ``cols`` is empty
+    (inner joins, or a side with no nullable columns): ``ds.schema()``
+    EXECUTES the upstream plan's UDFs on a non-materialized dataset
+    (verified on Ray 2.49), so it must only be paid when the dtype map
+    is actually needed. A schema of None (truly empty lineage) also
+    yields {} — the join result is empty/unmatched anyway."""
     import pyarrow as pa
 
+    if not cols:
+        return {}
     sch = ds.schema()
+    if sch is None:
+        return {}
     out = {}
     for name, t in zip(sch.names, sch.types):
         if name not in cols:

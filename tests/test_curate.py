@@ -222,3 +222,47 @@ def test_prepare_training_data_end_to_end(ray_session, tmp_path):
     )
     assert len(summary3["shards"]["skipped"]) == 4
     assert summary3["after_resample"] is None  # honest partial-count rule
+
+
+def test_prepare_training_data_caller_ds(ray_session, tmp_path):
+    """When curation ran on a caller-supplied dataset, the mix step
+    sources text from the SAME dataset — and a ds missing the mix
+    columns is rejected loudly."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.curate import prepare_training_data
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(100, 110),
+            "lang": ["en"] * 10,
+            # 'the' = en marker (passes the vote); per-doc unique tokens
+            # (no near-dup clustering)
+            "text": [
+                f"the w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f" for i in range(10)
+            ],
+        }
+    )
+    out = str(tmp_path / "s")
+    summary = prepare_training_data(
+        None, out, n_shards=2, seed=4, ds=ray.data.from_pandas(docs),
+    )
+    written = pd.concat(
+        [pq.read_table(f).to_pandas() for f in glob.glob(f"{out}/*.parquet")]
+    )
+    assert set(written["doc_id"]) <= set(docs["doc_id"])
+    assert summary["after_resample"] == len(written) > 0
+    # the texts are the caller's, not any sf_dir table's
+    by_id = dict(zip(docs["doc_id"], docs["text"]))
+    assert all(t == by_id[d] for d, t in zip(written["doc_id"], written["text"]))
+
+    with pytest.raises(ValueError, match="missing"):
+        prepare_training_data(
+            None, str(tmp_path / "s2"), n_shards=2,
+            ds=ray.data.from_pandas(docs[["doc_id", "text"]]),
+        )

@@ -339,3 +339,25 @@ def test_detect_hot_keys_preserves_64bit_keys(ray_session):
     ds = ray.data.from_items(rows).repartition(3)
     hot = detect_hot_keys(ds, "k", hot_fraction=0.2)
     assert hot == [big] and isinstance(hot[0], int)
+
+
+def test_shuffle_hash_join_empty_side(ray_session):
+    """An empty (zero-row) side joins cleanly for every how — and the
+    inner path never pays a schema() fetch for the dtype map."""
+    import pandas as pd
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.shuffle_join import hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "a": [10, 20]}))
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                      "b": pd.Series([], dtype="int64")})
+    )
+    assert hash_join(left, right, on="k", left_cols=["a"],
+                     right_cols=["b"], num_buckets=4).count() == 0
+    lj = pd.DataFrame(
+        hash_join(left, right, on="k", left_cols=["a"], right_cols=["b"],
+                  num_buckets=4, how="left").take_all()
+    )
+    assert len(lj) == 2 and lj["b"].isna().all()
