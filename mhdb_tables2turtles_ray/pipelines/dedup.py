@@ -1368,3 +1368,246 @@ def incremental_minhash_dedup(
         .aggregate(Min("doc_id", alias_name="__d"))
         .select_columns(["doc_id"])
     )
+
+
+# --- substring-level (duplicate-span) dedup -------------------------------
+#
+# The one dedup granularity the doc-level family above can't express:
+# two distinct documents sharing a long verbatim passage (boilerplate,
+# license headers, quoted text) keep BOTH docs under doc-level rules,
+# yet the passage is still memorization fuel. Suffix-array substring
+# dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better") finds such spans exactly; a distributed suffix array
+# is a heavy global sort, so this engine uses the standard scalable
+# approximation at token granularity: a W-token window is duplicated
+# iff its (lowercased, whitespace-tokenized) content occurs >= min_count
+# times in the corpus, and maximal runs of duplicated windows merge
+# into spans. Detection is exact at window granularity — a shared
+# passage of length >= W tokens is always found; passages shorter than
+# W never are (W is the paper's min-match length knob).
+
+
+def _batch_token_windows(text_col, window: int):
+    """Per-batch (row_idx, start_pos, window_hash) for every
+    within-row ``window``-token window, plus the kept token layout
+    (flat original-case tokens, parents) for callers that rebuild text.
+
+    One Arrow split per batch; windows are built on LOWERCASED copies
+    of the tokens (detection is case-insensitive, like the gram family)
+    by numpy shifted-window concatenation over object arrays (see
+    ``text._batch_grams`` for why not fixed-width U arrays). Hashes are
+    the library's stable 64-bit siphash (``_stable_hash64``) — an
+    8-byte shuffle key instead of a W-token string; a cross-doc hash
+    collision (~2^-64 per window pair) can mark a non-duplicated window
+    as duplicated, the same accept-rate trade as the Bloom path of
+    ``stages/semijoin.py`` and in the SAFE direction for dedup
+    (over-removal, never under-removal)."""
+    toks = pc.split_pattern_regex(
+        pc.coalesce(text_col, pa.scalar("", pa.string())), r"\s+"
+    )
+    flat_arr = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy()
+    keep = pc.not_equal(flat_arr, "").to_numpy(zero_copy_only=False)
+    flat = flat_arr.to_numpy(zero_copy_only=False)[keep]
+    lflat = pc.utf8_lower(flat_arr).to_numpy(zero_copy_only=False)[keep]
+    parents = parents[keep]
+    L = len(flat)
+    # token position within its own row (parents is sorted ascending)
+    pos = np.arange(L, dtype=np.int64) - np.searchsorted(
+        parents, parents, side="left"
+    )
+    if L < window:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.uint64), flat, parents, pos
+    valid = parents[: L - window + 1] == parents[window - 1 :]
+    grams = lflat[: L - window + 1]
+    for j in range(1, window):
+        grams = grams + " " + lflat[j : L - window + 1 + j]
+    h = _stable_hash64(grams[valid])
+    return (
+        parents[: L - window + 1][valid],
+        pos[: L - window + 1][valid],
+        h,
+        flat,
+        parents,
+        pos,
+    )
+
+
+def _dup_window_filter(
+    ds, window: int, min_count: int, exact_threshold: int
+):
+    """Broadcastable membership filter over the hashes of duplicated
+    ``window``-token windows (corpus occurrences >= ``min_count``).
+
+    One 8-byte-key shuffle total: per-batch pre-aggregated (hash,
+    count) partials -> groupby(hash) sum -> threshold filter; the
+    surviving hash set rides :func:`stages.semijoin.build_key_filter`
+    (exact int64 ndarray at or under ``exact_threshold``, streamed
+    Bloom above — bounded driver memory at any corpus size)."""
+    from ..stages.semijoin import build_key_filter
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        _, _, h, _, _, _ = _batch_token_windows(batch.column("text"), window)
+        uh, counts = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "wh": pa.array(uh.view(np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(hash_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("wh")
+        .sum("n")
+    )
+
+    def dups_only(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("sum(n)"), min_count)
+        return batch.filter(m).select(["wh"])
+
+    dups = totals.map_batches(
+        dups_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return build_key_filter(dups, "wh", exact_threshold=exact_threshold)
+
+
+def _filter_contains(keys, vals_u64: np.ndarray) -> np.ndarray:
+    from ..stages.semijoin import BloomFilter
+
+    v = vals_u64.view(np.int64)
+    if isinstance(keys, BloomFilter):
+        return keys.contains(v)
+    return np.isin(v, keys)
+
+
+def duplicate_spans(
+    sf_dir: str,
+    window: int = 16,
+    min_count: int = 2,
+    exact_threshold: int = 4_000_000,
+    ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, span_start, span_end, n_windows) — maximal duplicated
+    token spans per document: every run of ``window``-token windows
+    whose content occurs >= ``min_count`` times corpus-wide, merged
+    while consecutive windows overlap or touch (gap would mean a
+    non-duplicated token between them). ``span_end`` is exclusive;
+    both bounds are whitespace-token positions.
+
+    Two passes, both streaming: the count shuffle carries only (hash,
+    partial count) rows, the broadcast dup-hash set is the only
+    driver-resident state, and the span pass is a pure map (windows
+    never cross rows, so a doc's spans complete within its batch)."""
+    import ray
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    keys_ref = ray.put(
+        _dup_window_filter(ds, window, min_count, exact_threshold)
+    )
+
+    def spans(batch: pa.Table) -> pa.Table:
+        ridx, wpos, h, _, _, _ = _batch_token_windows(
+            batch.column("text"), window
+        )
+        hit = _filter_contains(ray.get(keys_ref), h)
+        ridx, wpos = ridx[hit], wpos[hit]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+            }
+        )
+        if len(ridx) == 0:
+            return empty
+        # windows arrive sorted by (row, pos); merge overlapping/adjacent
+        brk = np.empty(len(ridx), dtype=bool)
+        brk[0] = True
+        brk[1:] = (ridx[1:] != ridx[:-1]) | (wpos[1:] > wpos[:-1] + window)
+        gid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ridx)) - 1
+        doc_ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[ridx[starts]], pa.int64()),
+                "span_start": pa.array(wpos[starts], pa.int64()),
+                "span_end": pa.array(wpos[ends] + window, pa.int64()),
+                "n_windows": pa.array(
+                    np.bincount(gid).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def strip_duplicate_spans(
+    sf_dir: str,
+    window: int = 16,
+    min_count: int = 2,
+    exact_threshold: int = 4_000_000,
+    ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, text, n_tokens_removed) — the corpus with every
+    duplicated span (the :func:`duplicate_spans` regions, ALL
+    occurrences) cut out at token granularity. Surviving tokens keep
+    their original case and are re-joined with single spaces — this is
+    a token-stream operator (like the paper's byte-level variant it
+    normalizes the whitespace it split on); a doc that was entirely
+    duplicated content comes back as "".
+
+    Removing every occurrence (not all-but-one) is the conservative
+    policy: a global keep-one choice for overlapping window families
+    has no stable distributed definition, and the duplicated passages
+    this targets (boilerplate, license text) are usually wanted gone
+    from every copy. Same two-pass shape as :func:`duplicate_spans`."""
+    import ray
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    keys_ref = ray.put(
+        _dup_window_filter(ds, window, min_count, exact_threshold)
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        ridx, wpos, h, flat, parents, pos = _batch_token_windows(
+            batch.column("text"), window
+        )
+        n = len(batch)
+        hit = _filter_contains(ray.get(keys_ref), h)
+        ridx, wpos = ridx[hit], wpos[hit]
+        L = len(flat)
+        # coverage via a +1/-1 delta sweep over global token indices
+        # (windows never cross rows, so start+window stays in-row)
+        row_start = np.searchsorted(parents, np.arange(n), side="left")
+        delta = np.zeros(L + 1, dtype=np.int64)
+        gstart = row_start[ridx] + wpos
+        np.add.at(delta, gstart, 1)
+        np.add.at(delta, gstart + window, -1)
+        covered = np.cumsum(delta[:L]) > 0
+        kept = ~covered
+        counts = np.bincount(parents[kept], minlength=n).astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        list_arr = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(flat[kept], pa.string())
+        )
+        total = np.bincount(parents, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.binary_join(list_arr, " "),
+                "n_tokens_removed": pa.array(total - counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
