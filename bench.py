@@ -63,6 +63,7 @@ def run_benchmarks() -> dict:
     from mhdb_tables2turtles_ray.pipelines import dedup as dd
     from mhdb_tables2turtles_ray.pipelines import kg
     from mhdb_tables2turtles_ray.pipelines import kg_queries as kq
+    from mhdb_tables2turtles_ray.pipelines import lexindex as lx
     from mhdb_tables2turtles_ray.pipelines import multimodal as mm
     from mhdb_tables2turtles_ray.pipelines import relational as rel
     from mhdb_tables2turtles_ray.pipelines import shards as sh
@@ -145,6 +146,10 @@ def run_benchmarks() -> dict:
     bench("text_stratified_sample", sh.stratified_sample)
     bench("text_heavy_hitters", lambda sf: tx.heavy_hitter_tokens(sf, k=20))
     bench("text_bm25", lambda sf: tx.bm25_score(sf, "hash join scan"))
+    # first call builds the partitioned inverted index (cached under
+    # /tmp keyed on the data fingerprint, like ann_ivf_partitioned);
+    # repeat probes pay only the pruned partition reads
+    bench("text_bm25_indexed", lambda sf: lx.bm25_indexed(sf, "hash join scan"))
     bench("text_chunk", lambda sf: tx.chunk_documents(sf, max_tokens=64, overlap=8))
     bench("text_encode", lambda sf: tx.encode_documents(sf, vocab_size=4096)[0])
     bench("text_resample", lambda sf: sh.resample_corpus(sf, {"en": 1.5, "de": 0.5}))
