@@ -177,6 +177,7 @@ def prepare_training_data(
     n_shards: int = 8,
     seed: int = 42,
     resume: bool = True,
+    strip_spans_window: int | None = None,
     **curate_kwargs,
 ) -> dict:
     """The WHOLE training-data prep flow, end to end: curate (quality +
@@ -195,6 +196,15 @@ def prepare_training_data(
     upsampled doc's copies land in DIFFERENT shards, which is exactly
     what an epoch-level mixer wants). Output shards carry (uid,
     doc_id, copy, lang, text).
+
+    ``strip_spans_window``: when set, the curated text stream
+    additionally passes through substring-level dedup
+    (``dedup.strip_duplicate_spans`` — every window of that many
+    tokens occurring >= 2 times among the CURATED docs is cut from all
+    of them) before mixing, so shards never carry verbatim
+    cross-document boilerplate that doc-level dedup can't see. The
+    detection corpus is the curated stream itself (post doc-dedup —
+    removed duplicates must not vote content into "duplicated").
     """
     from ..stages.semijoin import build_key_filter, semi_join
     from .shards import _validate_weights, resample_batch, write_training_shards
@@ -229,6 +239,15 @@ def prepare_training_data(
     import ray
 
     curated = semi_join(docs, "doc_id", ray.put(skeys))
+    if strip_spans_window is not None:
+        from .dedup import strip_duplicate_spans
+
+        # materialize once: the span stage consumes the stream twice
+        # (window count + strip) and the shard write a third time —
+        # without this the read+filter lineage would re-execute each time
+        curated = strip_duplicate_spans(
+            None, window=strip_spans_window, ds=curated.materialize()
+        )
 
     def mix(df):
         out = resample_batch(df, wmap, default_weight, seed)

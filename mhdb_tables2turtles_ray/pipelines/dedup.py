@@ -1555,11 +1555,14 @@ def strip_duplicate_spans(
     exact_threshold: int = 4_000_000,
     ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """(doc_id, text, n_tokens_removed) — the corpus with every
-    duplicated span (the :func:`duplicate_spans` regions, ALL
-    occurrences) cut out at token granularity. Surviving tokens keep
-    their original case and are re-joined with single spaces — this is
-    a token-stream operator (like the paper's byte-level variant it
+    """The corpus with every duplicated span (the
+    :func:`duplicate_spans` regions, ALL occurrences) cut out at token
+    granularity: ``text`` is replaced in place, an ``n_tokens_removed``
+    column is appended, and every other input column passes through
+    untouched (so the op drops into a wider stream, e.g. the curation
+    funnel's (doc_id, lang, text)). Surviving tokens keep their
+    original case and are re-joined with single spaces — this is a
+    token-stream operator (like the paper's byte-level variant it
     normalizes the whitespace it split on); a doc that was entirely
     duplicated content comes back as "".
 
@@ -1602,12 +1605,13 @@ def strip_duplicate_spans(
             pa.array(offsets), pa.array(flat[kept], pa.string())
         )
         total = np.bincount(parents, minlength=n).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "text": pc.binary_join(list_arr, " "),
-                "n_tokens_removed": pa.array(total - counts, pa.int64()),
-            }
+        out = batch.set_column(
+            batch.schema.get_field_index("text"),
+            "text",
+            pc.binary_join(list_arr, " "),
+        )
+        return out.append_column(
+            "n_tokens_removed", pa.array(total - counts, pa.int64())
         )
 
     return ds.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)

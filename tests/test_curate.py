@@ -266,3 +266,52 @@ def test_prepare_training_data_caller_ds(ray_session, tmp_path):
             None, str(tmp_path / "s2"), n_shards=2,
             ds=ray.data.from_pandas(docs[["doc_id", "text"]]),
         )
+
+
+def test_prepare_training_data_strip_spans(ray_session, tmp_path):
+    """With strip_spans_window set, shards carry span-stripped text:
+    the boilerplate passage shared by otherwise-distinct docs is cut
+    from every copy, unique text survives verbatim."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.curate import prepare_training_data
+
+    boiler = "alpha beta gamma delta epsilon zeta"  # 6-token boilerplate
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(200, 210),
+            "lang": ["en"] * 10,
+            # 'the' = en marker, separated from the boilerplate by a
+            # per-doc unique token so no shared window can reach it
+            "text": [
+                f"the u{i}a {boiler} u{i}b u{i}c u{i}d u{i}e" for i in range(10)
+            ],
+        }
+    )
+    out = str(tmp_path / "stripped")
+    summary = prepare_training_data(
+        None, out, n_shards=2, seed=4, strip_spans_window=6,
+        ds=ray.data.from_pandas(docs),
+    )
+    written = pd.concat(
+        [pq.read_table(f).to_pandas() for f in glob.glob(f"{out}/*.parquet")]
+    )
+    assert summary["after_near_dedup"] == 10  # no doc-level dups
+    assert len(written) == 10
+    by_id = dict(zip(written["doc_id"], written["text"]))
+    for i in range(10):
+        assert by_id[200 + i] == f"the u{i}a u{i}b u{i}c u{i}d u{i}e"
+    # and without the stage, the boilerplate survives untouched
+    out2 = str(tmp_path / "plain")
+    prepare_training_data(
+        None, out2, n_shards=2, seed=4,
+        ds=ray.data.from_pandas(docs),
+    )
+    plain = pd.concat(
+        [pq.read_table(f).to_pandas() for f in glob.glob(f"{out2}/*.parquet")]
+    )
+    assert all(boiler in t for t in plain["text"])
