@@ -1441,11 +1441,22 @@ def _dup_window_filter(
     ``window``-token windows (corpus occurrences >= ``min_count``).
 
     One 8-byte-key shuffle total: per-batch pre-aggregated (hash,
-    count) partials -> groupby(hash) sum -> threshold filter; the
-    surviving hash set rides :func:`stages.semijoin.build_key_filter`
-    (exact int64 ndarray at or under ``exact_threshold``, streamed
-    Bloom above — bounded driver memory at any corpus size)."""
+    count) partials -> COARSE 256-bucket shuffle -> one vectorized
+    pandas sum + threshold per bucket task. The coarse bucket (a pure
+    function of the hash, so a hash's partials always meet) replaces a
+    fine-key distributed sort over tens of millions of 16-byte rows
+    with a 256-value sort — measured 7x faster at 11M partial rows
+    (the ``stages/grouped.py:bucketed_agg`` shape, inlined so the
+    partial pre-aggregation is the ``np.unique`` already inside the
+    window map — no 100M-row (hash, 1) intermediate between stages —
+    and the >= min_count threshold folds into the bucket task). The
+    surviving hash set rides
+    :func:`stages.semijoin.build_key_filter` (exact int64 ndarray at
+    or under ``exact_threshold``, streamed Bloom above — bounded
+    driver memory at any corpus size)."""
     from ..stages.semijoin import build_key_filter
+
+    num_buckets = 256
 
     def hash_partial(batch: pa.Table) -> pa.Table:
         _, _, h, _, _, _ = _batch_token_windows(batch.column("text"), window)
@@ -1454,21 +1465,20 @@ def _dup_window_filter(
             {
                 "wh": pa.array(uh.view(np.int64), pa.int64()),
                 "n": pa.array(counts, pa.int64()),
+                "b": pa.array(
+                    (uh % num_buckets).astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    totals = (
+    def bucket_dups(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("wh", sort=False)["n"].sum()
+        return pd.DataFrame({"wh": g.index.to_numpy()[g.to_numpy() >= min_count]})
+
+    dups = (
         ds.map_batches(hash_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("wh")
-        .sum("n")
-    )
-
-    def dups_only(batch: pa.Table) -> pa.Table:
-        m = pc.greater_equal(batch.column("sum(n)"), min_count)
-        return batch.filter(m).select(["wh"])
-
-    dups = totals.map_batches(
-        dups_only, batch_format="pyarrow", zero_copy_batch=True
+        .groupby("b")
+        .map_groups(bucket_dups, batch_format="pandas")
     )
     return build_key_filter(dups, "wh", exact_threshold=exact_threshold)
 

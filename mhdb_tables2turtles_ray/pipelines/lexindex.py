@@ -241,10 +241,14 @@ def bm25_probe(
              "contrib": pa.array(c, pa.float64())}
         )
 
-    scored = (
-        pruned.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_id")
-        .sum("contrib")
+    from ..stages.grouped import bucketed_agg
+
+    scored = bucketed_agg(
+        pruned.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id",
+        "contrib",
+        how="sum",
+        out="sum(contrib)",
     )
 
     def finish(batch: pa.Table) -> pa.Table:

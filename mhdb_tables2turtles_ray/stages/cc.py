@@ -6,7 +6,10 @@ iteration becomes the min of its label and its neighbors' labels —
 multiset stops changing (labels are monotone non-increasing ints, so an
 unchanged label SUM certifies convergence with one cheap scalar
 aggregate, no diff join). Each iteration is one label-attach join plus
-one min-groupby over the edge list; edges and labels never materialize
+one coarse-bucketed min-reduction over the edge list
+(:func:`stages.grouped.bucketed_agg` — per-batch pre-aggregation, a
+256-value shuffle sort instead of a fine-key distributed sort over
+every node id); edges and labels never materialize
 on the driver, and the join rides :func:`stages.shuffle_join.auto_join`
 so a small label table broadcasts and a big one shuffles.
 
@@ -24,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 
 def connected_components(
@@ -73,12 +76,17 @@ def connected_components(
             }
         )
 
-    labels = (
-        edges.map_batches(with_self, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .aggregate(Min("cand", alias_name="label"))
-        .materialize()
-    )
+    from .grouped import bucketed_agg
+
+    labels = bucketed_agg(
+        edges.map_batches(
+            with_self, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "node",
+        "cand",
+        how="min",
+        out="label",
+    ).materialize()
 
     def label_sum(ds) -> int:
         row = ds.aggregate(Sum("label", alias_name="s"))
@@ -112,12 +120,9 @@ def connected_components(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        labels = (
-            msgs.union(own)
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .materialize()
-        )
+        labels = bucketed_agg(
+            msgs.union(own), "node", "cand", how="min", out="label"
+        ).materialize()
         cur = label_sum(labels)
         if cur == prev_sum:
             return labels.map_batches(

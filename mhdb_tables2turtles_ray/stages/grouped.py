@@ -62,3 +62,55 @@ def grouped_map(
         .groupby(_BUCKET)
         .map_groups(run_bucket, batch_format="pandas")
     )
+
+
+def bucketed_agg(
+    ds,
+    key: str,
+    value: str,
+    how: str = "sum",
+    out: str | None = None,
+    num_buckets: int = 256,
+):
+    """``groupby(key).agg(how)`` (sum/min/max) as a coarse-bucket
+    shuffle — the scalar-aggregation sibling of :func:`grouped_map`.
+
+    ``Dataset.groupby(key).sum/aggregate`` runs a distributed SORT on
+    the fine key; with tens of millions of distinct keys the sort is
+    the whole cost (measured 7x slower than this shape at 11M rows —
+    see ``pipelines/dedup.py:_dup_window_filter``). Here each batch
+    pre-aggregates locally (sum/min/max are decomposable, so the
+    shuffle carries at most |distinct keys in batch| rows), the
+    shuffle sorts only ``num_buckets`` distinct bucket values, and one
+    vectorized pandas groupby per bucket task finishes the reduction.
+
+    Returns a Dataset with columns ``[key, out or value]``. NULL keys
+    are dropped (pandas groupby semantics, same contract as
+    :func:`grouped_map`); aggregate dtype follows pandas (int64 stays
+    int64 for min/max/sum, float64 stays float64)."""
+    if how not in ("sum", "min", "max"):
+        raise ValueError(f"how must be sum/min/max, got {how!r}")
+    out = out or value
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)[value].agg(how)
+        keys = g.index.to_numpy()
+        return pd.DataFrame(
+            {
+                key: keys,
+                value: g.to_numpy(),
+                _BUCKET: (
+                    pd.util.hash_array(keys) % np.uint64(num_buckets)
+                ).astype(np.int64),
+            }
+        )
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(key, sort=False)[value].agg(how)
+        return pd.DataFrame({key: g.index.to_numpy(), out: g.to_numpy()})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(_BUCKET)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -4,8 +4,10 @@ Same iterative contract as ``stages/kmeans.py`` and ``stages/cc.py``:
 deterministic init, a FIXED number of rounds (no convergence-dependent
 stop — reproducible across block structures), per-iteration work =
 one label-attach join (``auto_join`` — broadcast when ranks fit, shuffle
-when they don't) plus one sum-groupby. Edges materialize once and are
-reused every round; ranks never collect on the driver.
+when they don't) plus one coarse-bucketed sum-reduction
+(:func:`stages.grouped.bucketed_agg` — pre-aggregated partials, no
+fine-key distributed sort over node ids). Edges materialize once and
+are reused every round; ranks never collect on the driver.
 
 Dangling nodes (no out-edges) follow the standard redistribution: their
 mass joins the teleport term uniformly, so the rank vector keeps summing
@@ -57,12 +59,29 @@ def pagerank(
             }
         )
 
-    degrees = (
-        edges.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .aggregate(Sum("is_src", alias_name="out_degree"))
-        .materialize()
-    )
+    from .grouped import bucketed_agg
+
+    if edges.count() == 0:
+        # short-circuit before any groupby (Dataset.groupby on a truly
+        # empty dataset has no schema to bucket on)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    degrees = bucketed_agg(
+        edges.map_batches(
+            node_rows, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "node",
+        "is_src",
+        how="sum",
+        out="out_degree",
+    ).materialize()
     n_nodes = degrees.count()
     if n_nodes == 0:
         return ray.data.from_arrow(
@@ -139,12 +158,14 @@ def pagerank(
                 }
             )
 
-        sums = (
+        sums = bucketed_agg(
             contrib.map_batches(
                 to_contrib, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby("node")
-            .aggregate(Sum("c", alias_name="in_sum"))
+            ),
+            "node",
+            "c",
+            how="sum",
+            out="in_sum",
         )
         base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
 

@@ -77,3 +77,41 @@ def test_single_bucket_degenerates_gracefully(ray_session):
         [{"k": i % 3, "v": i} for i in range(30)], "k", count, 1
     )}
     assert got == {0: 10, 1: 10, 2: 10}
+
+
+# --- bucketed_agg: the scalar-aggregation sibling ----------------------
+
+
+def _agg(items, key, value, how, **kw):
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.grouped import bucketed_agg
+
+    ds = ray.data.from_items(items).repartition(3)
+    return bucketed_agg(ds, key, value, how=how, **kw).take_all()
+
+
+@pytest.mark.parametrize("how", ["sum", "min", "max"])
+def test_bucketed_agg_matches_pandas(ray_session, how):
+    """Equivalence to a plain fine-key groupby, all three reductions,
+    with keys spread across buckets and batches."""
+    items = [{"k": i % 37, "v": (i * 13) % 101 - 50} for i in range(500)]
+    got = {r["k"]: r["v"] for r in _agg(items, "k", "v", how, num_buckets=8)}
+    expect = pd.DataFrame(items).groupby("k")["v"].agg(how)
+    assert got == {int(k): int(v) for k, v in expect.items()}
+    # int64 in -> int64 out (the pandas nullable-Int64 block-layer trap)
+    assert all(isinstance(r["v"], int) for r in _agg(items, "k", "v", how))
+
+
+def test_bucketed_agg_float_and_rename(ray_session):
+    items = [{"k": i % 5, "v": float(i) / 8} for i in range(80)]
+    rows = _agg(items, "k", "v", "sum", out="total")
+    got = {r["k"]: r["total"] for r in rows}
+    expect = pd.DataFrame(items).groupby("k")["v"].sum()
+    for k, v in expect.items():
+        assert got[int(k)] == pytest.approx(v, rel=1e-12)
+
+
+def test_bucketed_agg_rejects_unknown_how(ray_session):
+    with pytest.raises(ValueError, match="sum/min/max"):
+        _agg([{"k": 1, "v": 1}], "k", "v", "mean")
