@@ -64,6 +64,7 @@ def run_benchmarks() -> dict:
     from mhdb_tables2turtles_ray.pipelines import kg
     from mhdb_tables2turtles_ray.pipelines import kg_queries as kq
     from mhdb_tables2turtles_ray.pipelines import lexindex as lx
+    from mhdb_tables2turtles_ray.pipelines import lm
     from mhdb_tables2turtles_ray.pipelines import multimodal as mm
     from mhdb_tables2turtles_ray.pipelines import relational as rel
     from mhdb_tables2turtles_ray.pipelines import shards as sh
@@ -153,6 +154,8 @@ def run_benchmarks() -> dict:
     bench("text_chunk", lambda sf: tx.chunk_documents(sf, max_tokens=64, overlap=8))
     bench("text_encode", lambda sf: tx.encode_documents(sf, vocab_size=4096)[0])
     bench("text_resample", lambda sf: sh.resample_corpus(sf, {"en": 1.5, "de": 0.5}))
+    bench("dedup_strip_spans", lambda sf: dd.strip_duplicate_spans(sf, window=8))
+    bench("text_perplexity", lm.score_perplexity)
     # end-to-end curation funnel (quality+lang filter → exact dedup →
     # LSH near-dup removal); _consume drives the survivors Dataset
     bench("curate_corpus", lambda sf: cu.curate_corpus(sf)[0])

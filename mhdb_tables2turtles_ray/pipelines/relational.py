@@ -595,24 +595,27 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> ray.data.Dataset:
     """HyperLogLog approximate distinct user count (mergeable per-batch
     sketches) next to the exact count — rows-only query; accuracy is
     asserted in unit tests (±2% at p=12 for this cardinality)."""
-    from ray.data.aggregate import Count
-
+    from ..stages.grouped import bucketed_agg
     from ..stages.sketch import approx_distinct
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ds, "user_id", p=p)
     # exact comparison column via the two-level distinct shape (per-batch
-    # distinct pre-shrink → global dedup groupby → row count): the driver
-    # sees one integer, never a unique() of an unbounded column.
+    # distinct pre-shrink → coarse-bucketed dedup → row count): the
+    # driver sees one integer, never a unique() of an unbounded column,
+    # and the shuffle sorts 256 bucket values, not the user-id domain.
     def pre(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["user_id"]).aggregate([])
+        t = batch.group_by(["user_id"]).aggregate([])
+        return t.append_column(
+            "__one", pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        )
 
-    exact = (
-        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(Count(alias_name="__c"))
-        .count()
-    )
+    exact = bucketed_agg(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "__one",
+        how="min",
+    ).count()
     return ray.data.from_arrow(
         pa.table(
             {
