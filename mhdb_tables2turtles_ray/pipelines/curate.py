@@ -6,6 +6,8 @@ stages:
     text.py Arrow kernels) filtering to long-enough in-language docs
     → exact dedup (digest groupby, smallest-id keeper, thresholded
     key-filter semi-join back to the docs)
+    → OPTIONAL perplexity filter (a bigram LM trained on the deduped
+    docs themselves, CCNet-style — ``lm.score_perplexity``)
     → near-dup removal (MinHash-LSH pairs → distributed connected
     components → anti semi-join — ``dedup_keep_best_lsh``)
     → OPTIONAL train/test decontamination (``text.decontaminate_pair``
@@ -26,7 +28,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Min
 
 from ..sources.tables import read_table
 from .text import LANG_MARKERS, lang_vote
@@ -38,14 +39,24 @@ def curate_corpus(
     min_tokens: int = 5,
     langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.5,
+    ppl_max: float | None = None,
     decontam_test_ds: ray.data.Dataset | None = None,
     decontam_ngram: int = 8,
     decontam_max_hits: int = 0,
     **lsh_kwargs,
 ) -> tuple[ray.data.Dataset, dict]:
     """Returns (surviving (doc_id) Dataset, funnel summary dict with
-    per-stage counts: input → after_quality_lang → after_exact_dedup →
-    after_near_dedup [→ after_decontam]).
+    per-stage counts: input → after_quality_lang → after_exact_dedup
+    [→ after_perplexity] → after_near_dedup [→ after_decontam]).
+
+    Pass ``ppl_max`` to add the CCNet-style statistical quality stage:
+    a bigram LM is trained on the exact-deduped docs themselves
+    (training AFTER dedup keeps duplicated boilerplate from skewing
+    the counts) and docs whose per-token perplexity exceeds the
+    threshold are dropped; docs with no bigrams (null perplexity)
+    carry no evidence and are kept. A Bloom false positive in the
+    keep-filter keeps an extra high-perplexity doc — the benign
+    direction, same as the exact-dedup keeper.
 
     Pass ``decontam_test_ds`` (a (doc_id, text) Dataset of held-out
     benchmark docs) to also drop any surviving doc sharing more than
@@ -107,8 +118,10 @@ def curate_corpus(
             "input": int(n_input),
             "after_quality_lang": 0,
             "after_exact_dedup": 0,
-            "after_near_dedup": 0,
         }
+        if ppl_max is not None:
+            summary["after_perplexity"] = 0
+        summary["after_near_dedup"] = 0
         if decontam_test_ds is not None:
             # summary schema is a function of the ARGUMENTS, not of how
             # many rows survived — callers read after_decontam whenever
@@ -125,12 +138,14 @@ def curate_corpus(
             {"doc_id": batch.column("doc_id"), "text_md5": pa.array(keys)}
         )
 
-    exact_ids = (
-        filtered.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_md5")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
-    )
+    from ..stages.grouped import bucketed_agg
+
+    exact_ids = bucketed_agg(
+        filtered.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True),
+        "text_md5",
+        "doc_id",
+        how="min",
+    ).select_columns(["doc_id"])
     # semi-join the docs back through the thresholded key filter (exact
     # under the threshold, Bloom above — a Bloom false positive keeps an
     # extra duplicate, the benign direction for a keep-filter)
@@ -138,15 +153,37 @@ def curate_corpus(
     exact_docs = semi_join(filtered, "doc_id", ray.put(keys)).materialize()
     n_exact = exact_docs.count()
 
-    survivors = dedup_keep_best_lsh(
-        ds=exact_docs, threshold=jaccard_threshold, **lsh_kwargs
-    ).materialize()
     summary = {
         "input": int(n_input),
         "after_quality_lang": int(n_filtered),
         "after_exact_dedup": int(n_exact),
-        "after_near_dedup": int(survivors.count()),
     }
+
+    if ppl_max is not None:
+        from .lm import score_perplexity
+
+        scored = score_perplexity(None, ds=exact_docs)
+
+        def low_ppl(t: pa.Table) -> pa.Table:
+            # null perplexity (no bigrams) carries no evidence: keep
+            keep = pc.fill_null(
+                pc.less_equal(t.column("ppl"), ppl_max), True
+            )
+            return pa.table({"doc_id": t.filter(keep).column("doc_id")})
+
+        good_ids = scored.map_batches(
+            low_ppl, batch_format="pyarrow", zero_copy_batch=True
+        )
+        pkeys = build_key_filter(good_ids, "doc_id")
+        exact_docs = semi_join(
+            exact_docs, "doc_id", ray.put(pkeys)
+        ).materialize()
+        summary["after_perplexity"] = int(exact_docs.count())
+
+    survivors = dedup_keep_best_lsh(
+        ds=exact_docs, threshold=jaccard_threshold, **lsh_kwargs
+    ).materialize()
+    summary["after_near_dedup"] = int(survivors.count())
     if decontam_test_ds is not None:
         from .text import decontaminate_pair
 

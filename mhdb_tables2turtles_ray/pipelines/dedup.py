@@ -40,8 +40,10 @@ def _stable_hash64(tokens: list[str]) -> np.ndarray:
 
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup by content hash: keep the smallest doc_id per distinct
-    text. Hash-partition groupby on the digest (uniform — no skew), with
-    the heavy ``text`` column dropped before the shuffle."""
+    text. Coarse-bucketed min-reduction on the digest
+    (``bucketed_agg`` — uniform keys, no skew, no fine-key sort over
+    the digest domain), with the heavy ``text`` column dropped before
+    the shuffle."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def digest(batch: pa.Table) -> pa.Table:
@@ -53,12 +55,14 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
             {"doc_id": batch.column("doc_id"), "text_md5": pa.array(keys)}
         )
 
-    return (
-        ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_md5")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
-    )
+    from ..stages.grouped import bucketed_agg
+
+    return bucketed_agg(
+        ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True),
+        "text_md5",
+        "doc_id",
+        how="min",
+    ).select_columns(["doc_id"])
 
 
 def _shingles(text: str, k: int) -> list[str]:
@@ -1360,14 +1364,17 @@ def incremental_minhash_dedup(
             batch.select(["doc_id"]).group_by(["doc_id"]).aggregate([])
         )
 
-    return (
+    from ..stages.grouped import bucketed_agg
+
+    return bucketed_agg(
         survivors_rows.map_batches(
             ids_only, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("doc_id")
-        .aggregate(Min("doc_id", alias_name="__d"))
-        .select_columns(["doc_id"])
-    )
+        ),
+        "doc_id",
+        "doc_id",
+        how="min",
+        out="__d",
+    ).select_columns(["doc_id"])
 
 
 # --- substring-level (duplicate-span) dedup -------------------------------

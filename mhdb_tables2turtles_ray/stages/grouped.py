@@ -87,7 +87,10 @@ def bucketed_agg(
     Returns a Dataset with columns ``[key, out or value]``. NULL keys
     are dropped (pandas groupby semantics, same contract as
     :func:`grouped_map`); aggregate dtype follows pandas (int64 stays
-    int64 for min/max/sum, float64 stays float64)."""
+    int64 for min/max/sum, float64 stays float64). ``value`` may equal
+    ``key`` — min/max of a key over itself is the key, so with a
+    distinct ``out`` name this is the distinct-keys reduction (pinned
+    by test)."""
     if how not in ("sum", "min", "max"):
         raise ValueError(f"how must be sum/min/max, got {how!r}")
     out = out or value

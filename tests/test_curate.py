@@ -315,3 +315,50 @@ def test_prepare_training_data_strip_spans(ray_session, tmp_path):
         [pq.read_table(f).to_pandas() for f in glob.glob(f"{out2}/*.parquet")]
     )
     assert all(boiler in t for t in plain["text"])
+
+
+def test_curate_perplexity_stage(ray_session):
+    """ppl_max adds the CCNet-style LM filter between exact dedup and
+    near-dup removal: the one statistically-odd doc is dropped, the
+    summary grows the after_perplexity count, and a loose threshold is
+    a no-op."""
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+    from mhdb_tables2turtles_ray.pipelines.lm import score_perplexity
+
+    # en-voted docs ("the" marker), >= 5 tokens; doc 99 reuses corpus
+    # tokens in transitions the LM never sees elsewhere -> max ppl
+    base = [f"the quick brown fox jumps over lazy dog n{i}" for i in range(12)]
+    odd = "the dog fox brown quick jumps n0 lazy over"
+
+    def rebuild():
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(base) + 1), pa.int64()),
+                    "text": pa.array(base + [odd], pa.string()),
+                }
+            )
+        ).repartition(2)
+
+    # the odd doc really is the perplexity max among the survivors
+    scored = score_perplexity(None, ds=rebuild()).to_pandas()
+    odd_ppl = float(scored.loc[scored.doc_id == len(base), "ppl"].iloc[0])
+    assert odd_ppl == scored["ppl"].max()
+
+    cutoff = (scored["ppl"].sort_values().iloc[-2] + odd_ppl) / 2
+    kept, funnel = curate_corpus(None, ds=rebuild(), ppl_max=float(cutoff))
+    kept_ids = {r["doc_id"] for r in kept.take_all()}
+    assert len(base) not in kept_ids  # the odd doc is gone
+    assert funnel["after_perplexity"] == funnel["after_exact_dedup"] - 1
+    assert funnel["after_near_dedup"] <= funnel["after_perplexity"]
+
+    # a loose threshold keeps everything and still reports the stage
+    _, loose = curate_corpus(None, ds=rebuild(), ppl_max=1e9)
+    assert loose["after_perplexity"] == loose["after_exact_dedup"]
+    # without the arg the key is absent (schema follows the arguments)
+    _, plain = curate_corpus(None, ds=rebuild())
+    assert "after_perplexity" not in plain

@@ -115,3 +115,11 @@ def test_bucketed_agg_float_and_rename(ray_session):
 def test_bucketed_agg_rejects_unknown_how(ray_session):
     with pytest.raises(ValueError, match="sum/min/max"):
         _agg([{"k": 1, "v": 1}], "k", "v", "mean")
+
+
+def test_bucketed_agg_distinct_keys_shape(ray_session):
+    """value == key with a renamed out column = distinct keys."""
+    items = [{"k": i % 11} for i in range(200)]
+    rows = _agg(items, "k", "k", "min", out="__d")
+    assert sorted(r["k"] for r in rows) == list(range(11))
+    assert all(r["__d"] == r["k"] for r in rows)
