@@ -64,19 +64,81 @@ def _bigram_rows(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return parents[:-1][valid], bh, h1.view(np.int64)
 
 
-def _bucket_counts(rows_fn, ds, key_name: str, num_buckets: int = 256):
-    """Streamed (key, count) over ``rows_fn(batch) -> int64 keys``:
-    np.unique partials -> coarse-bucket shuffle -> vectorized sum."""
+def train_bigram_lm(
+    sf_dir: str, ds: ray.data.Dataset | None = None
+) -> dict:
+    """Bigram count tables + vocabulary size from a corpus, in ONE
+    corpus scan.
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = rows_fn(batch)
-        uk, counts = np.unique(keys, return_counts=True)
+    The scan emits a combined tagged partial per batch — unigram
+    (kind 0, for the vocabulary) and bigram (kind 1, carrying the
+    context hash) ``np.unique`` counts — which materializes at
+    count-table size, not corpus size. Everything else derives from
+    that partial set without touching the corpus again: bigram totals
+    by coarse-bucket reduction (the context hash rides along — it is a
+    pure function of the bigram, so "first per bigram" is exact, not a
+    choice), context totals by re-summing the BIGRAM table over the
+    carried context hash (``c(w1) = Σ_w2 c(w1 w2)`` — a second-order
+    reduction over the distinct-bigram domain, corpus never re-read),
+    and the vocabulary size by distinct-count of the unigram rows.
+    At 100 TB the corpus read is the dominant cost; 1 scan vs 3 is the
+    whole point of the tagged partial.
+
+    Returns ``{"bigrams": Dataset[bh, n], "contexts": Dataset[uh, n],
+    "vocab_size": int, "n_bigrams": int}``. The count Datasets are
+    materialized (consumed once per scored corpus, sized by the
+    DISTINCT bigram/unigram domain); only the two scalars ever reach
+    the driver."""
+    import pyarrow.compute as pc
+
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    num_buckets = 256
+
+    def tagged_partial(batch: pa.Table) -> pa.Table:
+        from .dedup import _stable_hash64
+        from .text import _flat_tokens
+
+        flat, parents = _flat_tokens(batch.column("text"))
+        h = _stable_hash64(
+            pc.utf8_lower(flat).to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        uk_uni, c_uni = np.unique(h.view(np.int64), return_counts=True)
+        if len(h) >= 2:
+            valid = parents[:-1] == parents[1:]
+            h1, h2 = h[:-1][valid], h[1:][valid]
+            bh = ((h1 * _MIX) ^ h2).view(np.int64)
+            uk_big, first, c_big = np.unique(
+                bh, return_index=True, return_counts=True
+            )
+            uh_big = h1[first].view(np.int64)
+        else:
+            uk_big = np.empty(0, np.int64)
+            c_big = np.empty(0, np.int64)
+            uh_big = np.empty(0, np.int64)
+        key = np.concatenate([uk_uni, uk_big])
         return pa.table(
             {
-                key_name: pa.array(uk, pa.int64()),
-                "n": pa.array(counts, pa.int64()),
+                "kind": pa.array(
+                    np.repeat(
+                        np.array([0, 1], np.int64),
+                        [len(uk_uni), len(uk_big)],
+                    ),
+                    pa.int64(),
+                ),
+                "key": pa.array(key, pa.int64()),
+                "uh": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(uk_uni), np.int64), uh_big]
+                    ),
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    np.concatenate([c_uni, c_big]), pa.int64()
+                ),
                 "b": pa.array(
-                    (uk.view(np.uint64) % np.uint64(num_buckets)).astype(
+                    (key.view(np.uint64) % np.uint64(num_buckets)).astype(
                         np.int64
                     ),
                     pa.int64(),
@@ -84,51 +146,58 @@ def _bucket_counts(rows_fn, ds, key_name: str, num_buckets: int = 256):
             }
         )
 
-    def bucket_sum(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby(key_name, sort=False)["n"].sum()
+    combined = ds.map_batches(
+        tagged_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # count-table-sized; consumed by two reductions
+
+    def only(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind))
+
+        return f
+
+    def bigram_sum(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("key", sort=False).agg(
+            n=("n", "sum"), uh=("uh", "first")
+        )
         return pd.DataFrame(
-            {key_name: g.index.to_numpy(), "n": g.to_numpy()}
+            {
+                "bh": g.index.to_numpy(),
+                "n": g["n"].to_numpy(),
+                "uh": g["uh"].to_numpy(),
+            }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    bigrams_full = (
+        combined.map_batches(
+            only(1), batch_format="pyarrow", zero_copy_batch=True
+        )
         .groupby("b")
-        .map_groups(bucket_sum, batch_format="pandas")
+        .map_groups(bigram_sum, batch_format="pandas")
+        .materialize()
     )
 
+    from ..stages.grouped import bucketed_agg
 
-def train_bigram_lm(
-    sf_dir: str, ds: ray.data.Dataset | None = None
-) -> dict:
-    """Bigram count tables + vocabulary size from a corpus.
+    contexts = bucketed_agg(bigrams_full, "uh", "n", how="sum").materialize()
 
-    Returns ``{"bigrams": Dataset[bh, n], "contexts": Dataset[uh, n],
-    "vocab_size": int, "n_bigrams": int}``. The count Datasets are
-    materialized (they are consumed once per scored corpus and sized
-    by the DISTINCT bigram/unigram domain, not the corpus); only the
-    two scalars ever reach the driver."""
-    if ds is None:
-        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    def uni_distinct(part: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": part["key"].unique()})
 
-    bigrams = _bucket_counts(
-        lambda b: _bigram_rows(b)[1], ds, "bh"
+    vocab_size = (
+        combined.map_batches(
+            only(0), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("b")
+        .map_groups(uni_distinct, batch_format="pandas")
+        .count()
+    )
+
+    bigrams = bigrams_full.map_batches(
+        lambda t: t.select(["bh", "n"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     ).materialize()
-    contexts = _bucket_counts(
-        lambda b: _bigram_rows(b)[2], ds, "uh"
-    ).materialize()
-
-    def all_token_hashes(batch: pa.Table) -> np.ndarray:
-        import pyarrow.compute as pc
-
-        from .dedup import _stable_hash64
-        from .text import _flat_tokens
-
-        flat, _ = _flat_tokens(batch.column("text"))
-        return _stable_hash64(
-            pc.utf8_lower(flat).to_numpy(zero_copy_only=False)
-        ).view(np.int64)
-
-    vocab_size = _bucket_counts(all_token_hashes, ds, "uh").count()
 
     from ray.data.aggregate import Sum
 
