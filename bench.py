@@ -59,6 +59,7 @@ def run_benchmarks() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    from mhdb_tables2turtles_ray.pipelines import bpe as bp
     from mhdb_tables2turtles_ray.pipelines import curate as cu
     from mhdb_tables2turtles_ray.pipelines import dedup as dd
     from mhdb_tables2turtles_ray.pipelines import kg
@@ -156,6 +157,12 @@ def run_benchmarks() -> dict:
     bench("text_resample", lambda sf: sh.resample_corpus(sf, {"en": 1.5, "de": 0.5}))
     bench("dedup_strip_spans", lambda sf: dd.strip_duplicate_spans(sf, window=8))
     bench("text_perplexity", lm.score_perplexity)
+    # train a BPE merge list (one word-count scan + driver merge loop)
+    # then encode the corpus with it (actor pool, memoized words)
+    bench(
+        "text_bpe_train_encode",
+        lambda sf: bp.bpe_encode(sf, bp.train_bpe(sf, num_merges=200)),
+    )
     # end-to-end curation funnel (quality+lang filter → exact dedup →
     # LSH near-dup removal); _consume drives the survivors Dataset
     bench("curate_corpus", lambda sf: cu.curate_corpus(sf)[0])
