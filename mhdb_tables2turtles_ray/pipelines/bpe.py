@@ -77,6 +77,7 @@ def word_counts(
     sf_dir: str,
     min_count: int = 1,
     max_words: int = 1_000_000,
+    ds: ray.data.Dataset | None = None,
 ) -> tuple[list[str], np.ndarray, bool]:
     """(words, counts, truncated) — the corpus word-frequency table over
     the shared whitespace tokenization (:func:`text._flat_tokens`),
@@ -87,8 +88,11 @@ def word_counts(
     filter → (count desc, word asc) sort → ``max_words`` limit. The
     driver only ever holds the ≤ ``max_words`` result; ``truncated``
     reports whether the cap actually dropped tail words (count them —
-    never silently)."""
-    ds = read_table(sf_dir, "documents", columns=["text"])
+    never silently). Pass ``ds`` (any Dataset with a ``text`` column —
+    the repo-wide caller-ds convention) to count a derived corpus
+    instead of the documents table."""
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, _ = _flat_tokens(batch.column("text"))
@@ -175,6 +179,7 @@ def train_bpe(
     min_count: int = 1,
     max_words: int = 1_000_000,
     end_of_word: str = END_OF_WORD,
+    ds: ray.data.Dataset | None = None,
 ) -> dict:
     """Learn a BPE merge list from the documents corpus.
 
@@ -186,7 +191,7 @@ def train_bpe(
     shape; ``truncated=True`` means ``max_words`` dropped tail words
     and the learned statistics are over the kept head."""
     raw_words, counts, truncated = word_counts(
-        sf_dir, min_count=min_count, max_words=max_words
+        sf_dir, min_count=min_count, max_words=max_words, ds=ds
     )
     sym_words = [_word_symbols(w, end_of_word) for w in raw_words]
     merges = _learn_merges(sym_words, counts, num_merges)
@@ -249,9 +254,17 @@ class _BPEEncoder:
         self.eow = model["end_of_word"]
         self.memo: dict[str, tuple[str, ...]] = {}
 
+    # memo bound: Zipf keeps real vocabularies far below this, but a
+    # pathological corpus (random strings) must not grow actor heap
+    # without limit — reset beats an LRU here (hits restart instantly,
+    # and the reset cost is one re-encode per distinct word per epoch)
+    _MEMO_CAP = 1 << 20
+
     def _pieces(self, word: str) -> tuple[str, ...]:
         got = self.memo.get(word)
         if got is None:
+            if len(self.memo) >= self._MEMO_CAP:
+                self.memo.clear()
             got = self.memo[word] = encode_word(word, self.ranks, self.eow)
         return got
 
@@ -309,15 +322,20 @@ class _BPEEncoder:
 
 
 def bpe_encode(
-    sf_dir: str, model: dict, concurrency: tuple[int, int] | int = (1, 4)
+    sf_dir: str,
+    model: dict,
+    concurrency: tuple[int, int] | int = (1, 4),
+    ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, input_ids list<int32>, n_pieces, n_unk) — encode the
     documents corpus with a trained BPE model (:func:`train_bpe`).
     Symbols never seen in training (e.g. a character new to this split)
     map to UNK id 0, counted per doc in ``n_unk`` — same convention as
-    ``text.encode_documents``."""
+    ``text.encode_documents``. Pass ``ds`` (a (doc_id, text) Dataset)
+    to encode a derived corpus instead of the documents table."""
     model_ref = ray.put(model)
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         _BPEEncoder,
         fn_constructor_args=(model_ref,),
