@@ -10,7 +10,10 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from mhdb_tables2turtles_ray.stages.quantiles import exact_float_quantiles
+from mhdb_tables2turtles_ray.stages.quantiles import (
+    exact_float_quantiles,
+    exact_float_quantiles_by_group,
+)
 
 
 def _synthetic_table(n=20000) -> pa.Table:
@@ -102,6 +105,73 @@ def test_determinism_and_parallelism_invariance(ray_session):
         gather_limit=128,
     )
     assert a == b
+
+
+def test_grouped_matches_duckdb_events(sf_small, ray_session):
+    import ray
+
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    ds = read_table(sf_small, "events", columns=["event_type", "value"])
+    qs = (0.5, 0.9)
+    got = exact_float_quantiles_by_group(
+        ds, "event_type", "value", qs, bins=16, gather_limit=64
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_type, quantile_cont(value, 0.5), quantile_cont(value, 0.9) "
+        f"FROM read_parquet('{sf_small}/events.parquet') GROUP BY event_type"
+    ).fetchall()
+    assert len(got) == len(rows)
+    for et, p50, p90 in rows:
+        assert got[et][0.5] == p50, (et, got[et][0.5], p50)
+        assert got[et][0.9] == p90, (et, got[et][0.9], p90)
+
+
+def test_grouped_null_keys_dropped_and_group_cap(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", None, "b", "b", "b"], pa.string()),
+            "v": pa.array([1.0, 3.0, 100.0, 2.0, 4.0, 6.0], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = exact_float_quantiles_by_group(ds, "k", "v", (0.5,), gather_limit=16)
+    assert set(got) == {"a", "b"}
+    assert got["a"][0.5] == 2.0  # null-key row's 100.0 never seen
+    assert got["b"][0.5] == 4.0
+    with pytest.raises(ValueError, match="max_groups"):
+        exact_float_quantiles_by_group(
+            ds, "k", "v", (0.5,), gather_limit=16, max_groups=1
+        )
+
+
+def test_grouped_shares_scans_across_groups(ray_session):
+    """G groups must not cost G scans: count executions via a counter
+    column — each _hist_pass is ONE Dataset execution regardless of
+    group count."""
+    import ray
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array((np.arange(n) % 8).astype(str)),
+            "v": pa.array(rng.normal(0, 100, n), pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = exact_float_quantiles_by_group(
+        ds, "k", "v", (0.25, 0.75), bins=8, gather_limit=32
+    )
+    df = t.to_pandas()
+    for g, sub in df.groupby("k"):
+        want25 = np.quantile(sub["v"].to_numpy(), 0.25)
+        want75 = np.quantile(sub["v"].to_numpy(), 0.75)
+        assert abs(got[g][0.25] - want25) < 1e-12
+        assert abs(got[g][0.75] - want75) < 1e-12
 
 
 def test_validation_errors(ray_session):
