@@ -63,6 +63,9 @@ def main(argv=None) -> int:
     s.add_argument("--shards", type=int, default=64)
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   dest="file_format",
+                   help="shard file format (jsonl = one JSON object per row)")
     s.add_argument("--no-resume", action="store_true")
     s.add_argument("--num-cpus", type=int, default=None)
 
@@ -111,6 +114,7 @@ def main(argv=None) -> int:
         summary = write_training_shards(
             ds, args.out, id_col=args.id_col, n_shards=args.shards,
             seed=args.seed, resume=not args.no_resume,
+            file_format=args.file_format,
         )
         print(json.dumps({"out_dir": args.out, "seed": args.seed, **summary}))
         ray.shutdown()

@@ -108,14 +108,18 @@ def write_training_shards(
     n_shards: int = 64,
     seed: int = 42,
     resume: bool = True,
+    file_format: str = "parquet",
 ) -> dict:
-    """Write ``ds`` as ``n_shards`` seeded-permutation parquet shards
-    under ``out_dir`` (atomic file + manifest per shard, the
+    """Write ``ds`` as ``n_shards`` seeded-permutation shards under
+    ``out_dir`` (atomic file + manifest per shard, the
     ``state/manifest.py`` protocol). Rows inside each shard file are
     sorted by the permutation key, so shard bytes are a pure function
     of (row set, seed, n_shards): a resumed run — or a rerun on a
     different cluster size — reproduces the exact same files, and
-    resume skips finished shards BEFORE the one shard exchange."""
+    resume skips finished shards BEFORE the one shard exchange.
+    ``file_format="jsonl"`` writes newline-delimited JSON shards (the
+    LLM-training interchange format) with identical determinism/resume
+    semantics."""
     from ..stages.parquet_sink import write_partitioned_parquet
 
     def add(df: pd.DataFrame) -> pd.DataFrame:
@@ -130,6 +134,7 @@ def write_training_shards(
         identity_key=True,
         sort_within=[_HK, id_col],
         drop_cols=[_HK, _SHARD],
+        file_format=file_format,
     )
 
 

@@ -1,4 +1,4 @@
-"""Resumable hash-partitioned Parquet sink.
+"""Resumable hash-partitioned Parquet (or JSONL) sink.
 
 The Parquet counterpart of the Turtle materializer: ONE all-to-all on
 ``hash(key) % num_partitions``, one atomic file + lineage manifest per
@@ -7,6 +7,13 @@ partition (temp-write → rename → manifest last, exactly the
 partitions out BEFORE the shuffle so completed work costs nothing on a
 rerun. Never one giant file — a failed 10^12-row job rewrites only its
 missing partitions.
+
+``file_format="jsonl"`` swaps the per-partition serialization for
+newline-delimited JSON (the LLM-training interchange format) under the
+SAME shuffle/manifest/resume machinery — partition bytes stay a pure
+function of the partition's row set, so the determinism and resume
+guarantees carry over unchanged. JSONL requires JSON-serializable
+columns (strings, numbers, lists — not binary).
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ def write_partitioned_parquet(
     identity_key: bool = False,
     sort_within: list[str] | None = None,
     drop_cols: list[str] | None = None,
+    file_format: str = "parquet",
 ) -> dict:
     """Write ``ds`` as ``num_partitions`` hash-partitioned parquet files
     under ``out_dir`` with per-partition manifests; returns a summary
@@ -49,10 +57,17 @@ def write_partitioned_parquet(
     columns before writing (a per-partition local sort — never a global
     one), making file bytes a pure function of the partition's row SET;
     ``drop_cols`` removes transient columns (e.g. the sort key) from the
-    written file after sorting."""
+    written file after sorting.
+
+    ``file_format``: ``"parquet"`` (default) or ``"jsonl"`` (one JSON
+    object per row, ``.jsonl`` shard files; float serialization fixed
+    at 15 significant digits so bytes are deterministic)."""
+    if file_format not in ("parquet", "jsonl"):
+        raise ValueError(f"file_format must be parquet/jsonl, got {file_format!r}")
+    ext = _EXT if file_format == "parquet" else ".jsonl"
     os.makedirs(out_dir, exist_ok=True)
     done = (
-        completed_partitions(out_dir, num_partitions, ext=_EXT) if resume else set()
+        completed_partitions(out_dir, num_partitions, ext=ext) if resume else set()
     )
     pending = sorted(set(range(num_partitions)) - done)
     if not pending:
@@ -75,22 +90,31 @@ def write_partitioned_parquet(
         return df[np.isin(pid, pending_arr)]
 
     def write_part(part: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.parquet as pq
-
         pid = int(part[_PID].iloc[0])
         if sort_within:
             part = part.sort_values(sort_within, kind="mergesort")
-        table = pa.Table.from_pandas(
-            part.drop(columns=[_PID, *(drop_cols or [])]),
-            preserve_index=False,
-        )
+        out = part.drop(columns=[_PID, *(drop_cols or [])])
         tmp = os.path.join(out_dir, f".tmp-part-{pid:05d}.{os.getpid()}")
-        pq.write_table(table, tmp)
+        if file_format == "parquet":
+            import pyarrow.parquet as pq
+
+            table = pa.Table.from_pandas(out, preserve_index=False)
+            pq.write_table(table, tmp)
+            n_rows = table.num_rows
+        else:
+            out.to_json(
+                tmp,
+                orient="records",
+                lines=True,
+                force_ascii=False,
+                double_precision=15,
+            )
+            n_rows = len(out)
         manifest = finalize_partition_atomic(
-            out_dir, pid, tmp, {"rows": table.num_rows, "key": key_col}, _EXT
+            out_dir, pid, tmp, {"rows": n_rows, "key": key_col}, ext
         )
         return pd.DataFrame(
-            {"pid": [pid], "rows": [table.num_rows], "sha256": [manifest["sha256"]]}
+            {"pid": [pid], "rows": [n_rows], "sha256": [manifest["sha256"]]}
         )
 
     stats = (
@@ -103,6 +127,17 @@ def write_partitioned_parquet(
     # a partition no key hashed into still needs its (empty) shard +
     # manifest, or resume would re-attempt it on every rerun
     empty = [p for p in pending if p not in written]
+    if empty and file_format == "jsonl":
+        # an empty JSONL shard is an empty file — no schema needed
+        for pid in empty:
+            tmp = os.path.join(out_dir, f".tmp-part-{pid:05d}.{os.getpid()}")
+            with open(tmp, "wb"):
+                pass
+            finalize_partition_atomic(
+                out_dir, pid, tmp, {"rows": 0, "key": key_col}, ext
+            )
+            written.add(pid)
+        empty = []
     if empty:
         import pyarrow.parquet as pq
 

@@ -303,3 +303,63 @@ def test_resample_corpus_identity_and_validation(ray_session, sf_small):
     assert n_docs == pq.read_metadata(f"{sf_small}/documents.parquet").num_rows
     with pytest.raises(ValueError, match="negative"):
         resample_corpus(sf_small, {"en": -0.1})
+
+
+def test_jsonl_shards_round_trip_and_determinism(docs_ds, tmp_path):
+    from mhdb_tables2turtles_ray.pipelines.shards import write_training_shards
+
+    out = str(tmp_path / "jl")
+    summary = write_training_shards(
+        docs_ds, out, id_col="doc_id", n_shards=N_SHARDS, seed=SEED,
+        file_format="jsonl",
+    )
+    assert sorted(summary["written"]) == list(range(N_SHARDS))
+    # round trip: every doc exactly once, text survives JSON encoding
+    seen = {}
+    for pid in range(N_SHARDS):
+        path = os.path.join(out, f"part-{pid:05d}.jsonl")
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                row = json.loads(line)
+                assert set(row) == {"doc_id", "text"}
+                seen[row["doc_id"]] = row["text"]
+    assert set(seen) == _all_ids()
+    base = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(
+        base.column("doc_id").to_pylist(), base.column("text").to_pylist()
+    ):
+        assert seen[did] == text
+    # rerun in a fresh dir: byte-identical shard files (manifest shas)
+    out2 = str(tmp_path / "jl2")
+    write_training_shards(
+        docs_ds, out2, id_col="doc_id", n_shards=N_SHARDS, seed=SEED,
+        file_format="jsonl",
+    )
+    assert _manifest_shas(out) == _manifest_shas(out2)
+    # parquet and jsonl shard the rows identically (same permutation)
+    outp = str(tmp_path / "pq")
+    _write(docs_ds, outp)
+    for pid in range(N_SHARDS):
+        pq_ids = pq.read_table(
+            os.path.join(outp, f"part-{pid:05d}.parquet"), columns=["doc_id"]
+        ).column("doc_id").to_pylist()
+        with open(os.path.join(out, f"part-{pid:05d}.jsonl"), encoding="utf-8") as f:
+            jl_ids = [json.loads(line)["doc_id"] for line in f]
+        assert pq_ids == jl_ids
+
+
+def test_jsonl_resume_and_bad_format(docs_ds, tmp_path):
+    from mhdb_tables2turtles_ray.pipelines.shards import write_training_shards
+
+    out = str(tmp_path / "jl")
+    write_training_shards(
+        docs_ds, out, id_col="doc_id", n_shards=N_SHARDS, file_format="jsonl"
+    )
+    summary = write_training_shards(
+        docs_ds, out, id_col="doc_id", n_shards=N_SHARDS, file_format="jsonl"
+    )
+    assert summary["written"] == [] and len(summary["skipped"]) == N_SHARDS
+    with pytest.raises(ValueError, match="file_format"):
+        write_training_shards(
+            docs_ds, out, id_col="doc_id", n_shards=N_SHARDS, file_format="csv"
+        )
