@@ -311,14 +311,12 @@ class _BPEEncoder:
         lists = pa.ListArray.from_arrays(
             pa.array(offsets), pa.array(flat_ids, pa.int32())
         )
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "input_ids": lists,
-                "n_pieces": pa.array(n_pieces, pa.int64()),
-                "n_unk": pa.array(n_unk, pa.int64()),
-            }
-        )
+        # every non-text column passes through (uid/lang/copy metadata in
+        # the training-prep flow); text itself is REPLACED by the ids
+        out = batch.drop_columns(["text"])
+        out = out.append_column("input_ids", lists)
+        out = out.append_column("n_pieces", pa.array(n_pieces, pa.int64()))
+        return out.append_column("n_unk", pa.array(n_unk, pa.int64()))
 
 
 def bpe_encode(
@@ -327,8 +325,11 @@ def bpe_encode(
     concurrency: tuple[int, int] | int = (1, 4),
     ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """(doc_id, input_ids list<int32>, n_pieces, n_unk) — encode the
-    documents corpus with a trained BPE model (:func:`train_bpe`).
+    """(…passthrough cols, input_ids list<int32>, n_pieces, n_unk) —
+    encode the documents corpus with a trained BPE model
+    (:func:`train_bpe`). The ``text`` column is replaced by the ids;
+    every other input column (doc_id, and in the prep flow
+    uid/copy/lang) passes through unchanged.
     Symbols never seen in training (e.g. a character new to this split)
     map to UNK id 0, counted per doc in ``n_unk`` — same convention as
     ``text.encode_documents``. Pass ``ds`` (a (doc_id, text) Dataset)

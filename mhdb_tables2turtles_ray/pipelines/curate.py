@@ -215,6 +215,9 @@ def prepare_training_data(
     seed: int = 42,
     resume: bool = True,
     strip_spans_window: int | None = None,
+    bpe_merges: int | None = None,
+    bpe_max_words: int = 1_000_000,
+    shard_file_format: str = "parquet",
     **curate_kwargs,
 ) -> dict:
     """The WHOLE training-data prep flow, end to end: curate (quality +
@@ -242,6 +245,16 @@ def prepare_training_data(
     cross-document boilerplate that doc-level dedup can't see. The
     detection corpus is the curated stream itself (post doc-dedup —
     removed duplicates must not vote content into "duplicated").
+
+    ``bpe_merges``: when set, the flow also TOKENIZES — a BPE model
+    (``pipelines/bpe.py``) is trained on the curated stream (post-dedup,
+    pre-resample: duplicated boilerplate and upsampled copies must not
+    skew the learned merges) and the mixed stream is encoded before the
+    shard write, so shards carry (uid, doc_id, copy, lang, input_ids,
+    n_pieces, n_unk) instead of raw text — training-ready token shards.
+    The summary gains a ``bpe`` entry (merges/vocab size, truncation
+    flag). ``shard_file_format="jsonl"`` writes JSONL shards instead of
+    parquet (same manifests/resume).
     """
     from ..stages.semijoin import build_key_filter, semi_join
     from .shards import _validate_weights, resample_batch, write_training_shards
@@ -286,6 +299,23 @@ def prepare_training_data(
             None, window=strip_spans_window, ds=curated.materialize()
         )
 
+    model = None
+    if bpe_merges is not None:
+        from . import bpe as bpe_mod
+
+        # the curated stream is consumed by BOTH the word-count scan and
+        # the shard write (plus the strip transform above if enabled) —
+        # pin it once so the curate/strip lineage never re-executes
+        curated = curated.materialize()
+        model = bpe_mod.train_bpe(
+            sf_dir, num_merges=bpe_merges, max_words=bpe_max_words, ds=curated
+        )
+        summary["bpe"] = {
+            "merges": len(model["merges"]),
+            "vocab": len(model["vocab"]),
+            "truncated": model["truncated"],
+        }
+
     def mix(df):
         out = resample_batch(df, wmap, default_weight, seed)
         if len(out):
@@ -301,9 +331,13 @@ def prepare_training_data(
         return out[["uid", "doc_id", "copy", "lang", "text"]]
 
     mixed = curated.map_batches(mix, batch_format="pandas")
+    if model is not None:
+        from . import bpe as bpe_mod
+
+        mixed = bpe_mod.bpe_encode(sf_dir, model, ds=mixed)
     write_summary = write_training_shards(
         mixed, out_dir, id_col="uid", n_shards=n_shards, seed=seed,
-        resume=resume,
+        resume=resume, file_format=shard_file_format,
     )
     # n_rows counts rows written THIS run: on a resumed run with
     # already-finished shards it is a partial count, so only claim the

@@ -362,3 +362,79 @@ def test_curate_perplexity_stage(ray_session):
     # without the arg the key is absent (schema follows the arguments)
     _, plain = curate_corpus(None, ds=rebuild())
     assert "after_perplexity" not in plain
+
+
+def test_prepare_training_data_tokenized_jsonl(ray_session, tmp_path):
+    """curate → mix → BPE tokenize → JSONL shard write: shards carry
+    input_ids instead of text, the ids decode consistently with an
+    independently trained model on the same curated set, and reruns are
+    byte-identical."""
+    import glob
+    import json
+    import os
+
+    from mhdb_tables2turtles_ray.pipelines.bpe import encode_word, train_bpe
+    from mhdb_tables2turtles_ray.pipelines.curate import (
+        curate_corpus,
+        prepare_training_data,
+    )
+    from mhdb_tables2turtles_ray.stages.semijoin import build_key_filter, semi_join
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tok")
+    summary = prepare_training_data(
+        sf, out, n_shards=4, seed=9, langs=("en", "de", "fr"),
+        bpe_merges=30, shard_file_format="jsonl",
+    )
+    assert summary["bpe"]["merges"] == 30 and not summary["bpe"]["truncated"]
+    rows = []
+    for f in sorted(glob.glob(f"{out}/*.jsonl")):
+        with open(f, encoding="utf-8") as fh:
+            rows.extend(json.loads(line) for line in fh)
+    assert rows and set(rows[0]) == {
+        "uid", "doc_id", "copy", "lang", "input_ids", "n_pieces", "n_unk"
+    }
+    assert summary["after_resample"] == len(rows)
+    # model trained on the curated docs -> curated docs encode UNK-free
+    assert all(r["n_unk"] == 0 for r in rows)
+    assert all(r["n_pieces"] == len(r["input_ids"]) for r in rows)
+
+    # the ids match an independent train+encode over the same curated set
+    import ray
+
+    survivors_ds, _ = curate_corpus(sf, langs=("en", "de", "fr"))
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    curated = semi_join(
+        docs, "doc_id", ray.put(build_key_filter(survivors_ds, "doc_id",
+                                                 exact_threshold=None))
+    )
+    model = train_bpe(sf, num_merges=30, ds=curated)
+    ranks = {m: i for i, m in enumerate(model["merges"])}
+    ids = {s: i + 1 for i, s in enumerate(model["vocab"])}
+    text_by_id = {
+        r["doc_id"]: r["text"] for r in curated.take_all()
+    }
+    for r in rows[:40]:
+        want = [
+            ids.get(s, 0)
+            for w in (text_by_id[r["doc_id"]] or "").split()
+            for s in encode_word(w, ranks)
+        ]
+        assert r["input_ids"] == want
+
+    # rerun in a fresh dir: byte-identical shard manifests
+    out2 = str(tmp_path / "tok2")
+    prepare_training_data(
+        sf, out2, n_shards=4, seed=9, langs=("en", "de", "fr"),
+        bpe_merges=30, shard_file_format="jsonl",
+    )
+
+    def shas(d):
+        import json as _j
+        return {
+            n: _j.load(open(os.path.join(d, "_manifests", n)))["sha256"]
+            for n in sorted(os.listdir(os.path.join(d, "_manifests")))
+        }
+
+    assert shas(out) == shas(out2)
