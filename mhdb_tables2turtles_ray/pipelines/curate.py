@@ -39,6 +39,7 @@ def curate_corpus(
     min_tokens: int = 5,
     langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.5,
+    length_pct_max: float | None = None,
     ppl_max: float | None = None,
     decontam_test_ds: ray.data.Dataset | None = None,
     decontam_ngram: int = 8,
@@ -48,6 +49,15 @@ def curate_corpus(
     """Returns (surviving (doc_id) Dataset, funnel summary dict with
     per-stage counts: input → after_quality_lang → after_exact_dedup
     [→ after_perplexity] → after_near_dedup [→ after_decontam]).
+
+    Pass ``length_pct_max`` (e.g. ``0.99``) to add a percentile-based
+    length-outlier cut after the quality/language filter: the token-count
+    distribution's EXACT ``quantile_cont`` value is computed with the
+    unbounded-domain refinement stage (``stages/quantiles.py`` — no
+    assumed length ceiling) and docs STRICTLY longer than it are
+    dropped. The cut is ≥ the shortest surviving doc's length by
+    construction, so the stage can never empty a non-empty corpus; the
+    funnel summary gains ``after_length_cut``.
 
     Pass ``ppl_max`` to add the CCNet-style statistical quality stage:
     a bigram LM is trained on the exact-deduped docs themselves
@@ -119,6 +129,8 @@ def curate_corpus(
             "after_quality_lang": 0,
             "after_exact_dedup": 0,
         }
+        if length_pct_max is not None:
+            summary["after_length_cut"] = 0
         if ppl_max is not None:
             summary["after_perplexity"] = 0
         summary["after_near_dedup"] = 0
@@ -128,6 +140,45 @@ def curate_corpus(
             # they passed a test set
             summary["after_decontam"] = 0
         return empty, summary
+
+    n_length_cut = None
+    if length_pct_max is not None:
+        if not 0.0 < length_pct_max <= 1.0:
+            raise ValueError(
+                f"length_pct_max must be in (0, 1], got {length_pct_max}"
+            )
+        from ..stages.quantiles import exact_float_quantiles
+
+        def tok_lens(batch: pa.Table) -> pa.Table:
+            text = pc.coalesce(batch.column("text"), pa.scalar("", pa.string()))
+            n = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
+            return pa.table({"n_tokens": n})
+
+        # token counts are integer-valued, so the point-mass snap
+        # resolves each rank almost immediately (typically one pass)
+        cut = exact_float_quantiles(
+            filtered.map_batches(
+                tok_lens, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "n_tokens",
+            (length_pct_max,),
+            bins=256,
+            gather_limit=4096,
+        )[length_pct_max]
+
+        def under_cut(batch: pa.Table) -> pa.Table:
+            text = pc.coalesce(batch.column("text"), pa.scalar("", pa.string()))
+            n = (
+                pc.count_substring_regex(text, r"\S+")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            return batch.filter(pa.array(n <= cut))
+
+        filtered = filtered.map_batches(
+            under_cut, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        n_length_cut = filtered.count()
 
     def digest(batch: pa.Table) -> pa.Table:
         keys = [
@@ -158,6 +209,14 @@ def curate_corpus(
         "after_quality_lang": int(n_filtered),
         "after_exact_dedup": int(n_exact),
     }
+    if n_length_cut is not None:
+        # keep funnel order: the cut runs between quality and dedup
+        summary = {
+            "input": summary["input"],
+            "after_quality_lang": summary["after_quality_lang"],
+            "after_length_cut": int(n_length_cut),
+            "after_exact_dedup": summary["after_exact_dedup"],
+        }
 
     if ppl_max is not None:
         from .lm import score_perplexity

@@ -438,3 +438,47 @@ def test_prepare_training_data_tokenized_jsonl(ray_session, tmp_path):
         }
 
     assert shas(out) == shas(out2)
+
+
+def test_curate_length_percentile_cut(ray_session):
+    """length_pct_max drops docs strictly longer than the exact
+    quantile_cont cut of the post-quality token-count distribution:
+    100 ten-token docs + 5 thousand-token docs at pct 0.9 → cut 10,
+    the 5 outliers drop, nothing else does."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    rows = []
+    for i in range(100):
+        toks = ["the", "a"] + [f"w{i}t{j}" for j in range(8)]
+        rows.append((i, " ".join(toks)))
+    for i in range(100, 105):
+        toks = ["the", "a"] + [f"L{i}t{j}" for j in range(998)]
+        rows.append((i, " ".join(toks)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    survivors_ds, funnel = curate_corpus(
+        None, ds=ds, langs=("en",), length_pct_max=0.9
+    )
+    assert list(funnel)[:4] == [
+        "input", "after_quality_lang", "after_length_cut", "after_exact_dedup"
+    ]
+    assert funnel["input"] == 105
+    assert funnel["after_quality_lang"] == 105
+    assert funnel["after_length_cut"] == 100
+    survivors = {r["doc_id"] for r in survivors_ds.take_all()}
+    assert survivors == set(range(100))
+    # pct 1.0 keeps everything (cut == max length)
+    _, full = curate_corpus(None, ds=ds, langs=("en",), length_pct_max=1.0)
+    assert full["after_length_cut"] == 105
+    with pytest.raises(ValueError, match="length_pct_max"):
+        curate_corpus(None, ds=ds, langs=("en",), length_pct_max=1.5)
