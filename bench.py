@@ -163,6 +163,19 @@ def run_benchmarks() -> dict:
         "text_bpe_train_encode",
         lambda sf: bp.bpe_encode(sf, bp.train_bpe(sf, num_merges=200)),
     )
+    # exact quantiles over an unbounded float domain (multi-pass
+    # histogram refinement; dict result — wrap so _consume sees a len)
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+    from mhdb_tables2turtles_ray.stages.quantiles import exact_float_quantiles
+
+    bench(
+        "rel_float_quantiles",
+        lambda sf: list(
+            exact_float_quantiles(
+                read_table(sf, "events", columns=["value"]), "value"
+            ).items()
+        ),
+    )
     # end-to-end curation funnel (quality+lang filter → exact dedup →
     # LSH near-dup removal); _consume drives the survivors Dataset
     bench("curate_corpus", lambda sf: cu.curate_corpus(sf)[0])

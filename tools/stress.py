@@ -1,0 +1,207 @@
+#!/usr/bin/env python3
+"""Reproducible large-corpus stress runs (the BASELINE.md numbers).
+
+Replicates the sf0.1 documents table N× with offset ids (every replica
+an exact duplicate of its base doc — deterministic, no external data)
+and drives one named pipeline over the result, reporting wall time,
+throughput and driver max RSS as ONE JSON line. This is the committed
+form of the ad-hoc scripts behind the "2,000,000-doc … stress" entries
+in BASELINE.md — rerunnable by anyone, not just the session that
+produced them.
+
+  python tools/stress.py bpe        # train_bpe + bpe_encode
+  python tools/stress.py curate     # curate_corpus funnel
+  python tools/stress.py decontam   # decontaminate_pair (100-doc test set)
+  python tools/stress.py quantiles  # exact_float_quantiles over a derived
+                                    # float column (replicated events)
+  --replicas 400 --sf-dir /root/testdata/sf0.1 --num-cpus 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import resource
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def replicated_documents(sf_dir: str, replicas: int):
+    """(doc_id, text) Dataset: documents × replicas, ids offset per
+    replica (same scheme as the BASELINE.md stress entries)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_base = base.num_rows
+    base_ref = ray.put(
+        {
+            "doc_id": base.column("doc_id").to_numpy(),
+            "text": base.column("text").to_pylist(),
+        }
+    )
+
+    def gen(batch):
+        b = ray.get(base_ref)
+        gids = batch["id"].astype(np.int64)
+        pos = (gids % n_base).astype(np.int64)
+        rep = gids // n_base
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"][pos] + rep * 1_000_000, pa.int64()),
+                "text": pa.array([b["text"][p] for p in pos.tolist()], pa.string()),
+            }
+        )
+
+    return (
+        ray.data.range(n_base * replicas, override_num_blocks=replicas)
+        .map_batches(gen, batch_format="numpy"),
+        n_base * replicas,
+    )
+
+
+def run_bpe(sf_dir: str, replicas: int) -> dict:
+    import pyarrow as pa
+
+    from mhdb_tables2turtles_ray.pipelines import bpe
+
+    ds, n_docs = replicated_documents(sf_dir, replicas)
+    t0 = time.time()
+    model = bpe.train_bpe(sf_dir, num_merges=200, ds=ds)
+    t_train = time.time() - t0
+    ds2, _ = replicated_documents(sf_dir, replicas)
+    t0 = time.time()
+    enc = bpe.bpe_encode(sf_dir, model, concurrency=(1, 30), ds=ds2)
+    tot = enc.map_batches(
+        lambda t: pa.table(
+            {
+                "n": [t.column("n_pieces").to_numpy().sum()],
+                "u": [t.column("n_unk").to_numpy().sum()],
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas().sum()
+    t_enc = time.time() - t0
+    base_model = bpe.train_bpe(sf_dir, num_merges=200)
+    return {
+        "train_sec": round(t_train, 1),
+        "train_docs_per_sec": round(n_docs / t_train),
+        "encode_sec": round(t_enc, 1),
+        "encode_docs_per_sec": round(n_docs / t_enc),
+        "n_pieces": int(tot["n"]),
+        "n_unk": int(tot["u"]),
+        "merges": len(model["merges"]),
+        "replica_invariant": base_model["merges"] == model["merges"],
+    }
+
+
+def run_curate(sf_dir: str, replicas: int) -> dict:
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    ds, n_docs = replicated_documents(sf_dir, replicas)
+    t0 = time.time()
+    survivors, funnel = curate_corpus(None, ds=ds, langs=("en", "de", "fr"))
+    n_surv = survivors.count()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 1),
+        "docs_per_sec": round(n_docs / dt),
+        "funnel": funnel,
+        "survivors": int(n_surv),
+    }
+
+
+def run_decontam(sf_dir: str, replicas: int) -> dict:
+    import pyarrow.parquet as pq
+    import ray
+
+    from mhdb_tables2turtles_ray.pipelines.text import decontaminate_pair
+
+    ds, n_docs = replicated_documents(sf_dir, replicas)
+    test = ray.data.from_arrow(
+        pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).slice(0, 100)
+    )
+    t0 = time.time()
+    n_bad = decontaminate_pair(ds, test, n=5).count()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 1),
+        "docs_per_sec": round(n_docs / dt),
+        "contaminated": int(n_bad),
+    }
+
+
+def run_quantiles(sf_dir: str, replicas: int) -> dict:
+    import numpy as np
+    import pyarrow as pa
+
+    from mhdb_tables2turtles_ray.stages.quantiles import exact_float_quantiles
+
+    ds, n_docs = replicated_documents(sf_dir, replicas)
+
+    # derive a heavy-tailed float from the text lengths (deterministic)
+    def to_float(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.utf8_length(pc.coalesce(t.column("text"), "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        return pa.table({"v": pa.array(np.exp(n / 1000.0), pa.float64())})
+
+    fds = ds.map_batches(to_float, batch_format="pyarrow", zero_copy_batch=True)
+    t0 = time.time()
+    qs = exact_float_quantiles(fds, "v", (0.5, 0.9, 0.99))
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 1),
+        "rows_per_sec": round(n_docs / dt),
+        "quantiles": {str(k): v for k, v in qs.items()},
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["bpe", "curate", "decontam", "quantiles"])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, default=400)
+    ap.add_argument("--num-cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    fn = {
+        "bpe": run_bpe,
+        "curate": run_curate,
+        "decontam": run_decontam,
+        "quantiles": run_quantiles,
+    }[args.which]
+    out = fn(args.sf_dir, args.replicas)
+    out["which"] = args.which
+    out["replicas"] = args.replicas
+    out["driver_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+    )
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
