@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..sources.tables import read_table
-from .text import LANG_MARKERS, lang_vote
+from .text import LANG_MARKERS, lang_vote, whitespace_token_count
 
 
 def curate_corpus(
@@ -101,14 +101,10 @@ def curate_corpus(
     keep_langs = sorted(set(langs))
 
     def fused_filter(batch: pa.Table) -> pa.Table:
-        # null text counts as 0 tokens BY RULE (dropped below min_tokens),
-        # not via an undefined NaN→int cast: coalesce before counting
+        # null text counts as 0 tokens BY RULE (dropped below
+        # min_tokens) — whitespace_token_count coalesces before counting
         text = pc.coalesce(batch.column("text"), pa.scalar("", pa.string()))
-        n_tokens = (
-            pc.count_substring_regex(text, r"\S+")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
+        n_tokens = whitespace_token_count(batch.column("text"))
         lang = lang_vote(text)  # the same vote the lang_id query runs
         keep = (n_tokens >= min_tokens) & np.isin(lang, keep_langs)
         return batch.filter(pa.array(keep))
@@ -150,9 +146,10 @@ def curate_corpus(
         from ..stages.quantiles import exact_float_quantiles
 
         def tok_lens(batch: pa.Table) -> pa.Table:
-            text = pc.coalesce(batch.column("text"), pa.scalar("", pa.string()))
-            n = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
-            return pa.table({"n_tokens": n})
+            # the SAME count definition as the quality filter and the
+            # cut below (text.whitespace_token_count — single home)
+            n = whitespace_token_count(batch.column("text"))
+            return pa.table({"n_tokens": pa.array(n.astype(np.float64))})
 
         # token counts are integer-valued, so the point-mass snap
         # resolves each rank almost immediately (typically one pass)
@@ -167,12 +164,7 @@ def curate_corpus(
         )[length_pct_max]
 
         def under_cut(batch: pa.Table) -> pa.Table:
-            text = pc.coalesce(batch.column("text"), pa.scalar("", pa.string()))
-            n = (
-                pc.count_substring_regex(text, r"\S+")
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-            )
+            n = whitespace_token_count(batch.column("text")).astype(np.float64)
             return batch.filter(pa.array(n <= cut))
 
         filtered = filtered.map_batches(

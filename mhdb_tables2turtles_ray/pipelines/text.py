@@ -44,6 +44,21 @@ def _flat_tokens(text_col):
     return pc.filter(flat, pa.array(keep)), parents[keep]
 
 
+def whitespace_token_count(text_col) -> np.ndarray:
+    """Per-row whitespace token count, int64 — THE count definition of
+    the text family (null → "" by rule, one Arrow regex pass). Same
+    single-home contract as :func:`_flat_tokens`: every operator that
+    thresholds or distributes on token counts (curate funnel's quality
+    filter and length cut, ``token_counts``) MUST ride this helper, or
+    the definitions silently diverge."""
+    text = pc.coalesce(text_col, "")
+    return (
+        pc.count_substring_regex(text, r"\S+")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
 def _marker_hits(text_col, value_sets: list[pa.Array]) -> list[np.ndarray]:
     """Per-row counts of tokens falling in each marker set, vectorized:
     one ``pc.is_in`` + ``np.bincount`` per set over the shared flat
@@ -85,12 +100,12 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
 
     def count(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        n = pc.count_substring_regex(text, r"\S+")
+        n = whitespace_token_count(text)
         n_sub = pc.count_substring_regex(text, BPE_ISH_RE)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pc.cast(n, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
                 "n_subtokens": pc.cast(n_sub, pa.int64()),
             }
         )

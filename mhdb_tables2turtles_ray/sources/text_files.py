@@ -66,8 +66,10 @@ def read_jsonl_documents(
     (e.g. ``{"id": "doc_id", "content": "text"}``) BEFORE pruning and
     validation; ``required`` names the columns that must exist after
     renaming (loud failure, not a silent null column). Round-trips the
-    jsonl shards this repo's own sink writes (pinned by test)."""
-    ds = ray.data.read_json(paths)
+    jsonl shards this repo's own sink writes (pinned by test) —
+    including a shard DIRECTORY: only ``.jsonl`` files are read, so the
+    sink's ``_manifests/*.json`` sidecars never pollute the corpus."""
+    ds = ray.data.read_json(paths, file_extensions=["jsonl"])
     return _normalize(ds, columns, rename, required, "read_jsonl_documents")
 
 

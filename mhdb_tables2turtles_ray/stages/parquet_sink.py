@@ -30,6 +30,35 @@ _PID = "__pid"
 _EXT = ".parquet"
 
 
+def _write_jsonl(df: pd.DataFrame, path: str) -> None:
+    """One JSON object per row via the stdlib encoder: floats serialize
+    as shortest round-trip repr (LOSSLESS — pandas ``to_json`` caps at
+    15 significant digits, which silently corrupts the last ulps of a
+    float64), NaN/None become JSON null, numpy scalars and arrays
+    coerce to native types. Deterministic byte output for a given row
+    order."""
+    import json
+
+    def default(o):
+        if isinstance(o, np.integer):
+            return int(o)
+        if isinstance(o, np.floating):
+            f = float(o)
+            return None if f != f else f
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        raise TypeError(f"not JSON-serializable: {type(o).__name__}")
+
+    with open(path, "w", encoding="utf-8") as f:
+        for rec in df.to_dict(orient="records"):
+            clean = {
+                k: (None if isinstance(v, float) and v != v else v)
+                for k, v in rec.items()
+            }
+            f.write(json.dumps(clean, ensure_ascii=False, default=default))
+            f.write("\n")
+
+
 def write_partitioned_parquet(
     ds,
     out_dir: str,
@@ -60,12 +89,27 @@ def write_partitioned_parquet(
     written file after sorting.
 
     ``file_format``: ``"parquet"`` (default) or ``"jsonl"`` (one JSON
-    object per row, ``.jsonl`` shard files; float serialization fixed
-    at 15 significant digits so bytes are deterministic)."""
+    object per row, ``.jsonl`` shard files; floats serialize as
+    shortest round-trip repr — lossless AND byte-deterministic). The
+    two formats may not share a directory (manifest namespace guard)."""
     if file_format not in ("parquet", "jsonl"):
         raise ValueError(f"file_format must be parquet/jsonl, got {file_format!r}")
     ext = _EXT if file_format == "parquet" else ".jsonl"
     os.makedirs(out_dir, exist_ok=True)
+    # manifests are named part-{pid}.json regardless of data extension,
+    # so writing format B into a directory of completed format-A shards
+    # would silently overwrite A's manifests (invalidating valid data
+    # with no error on the later read) — refuse loudly instead
+    import glob as _glob
+
+    other_ext = ".jsonl" if file_format == "parquet" else _EXT
+    conflicting = _glob.glob(os.path.join(out_dir, f"part-*{other_ext}"))
+    if conflicting:
+        raise ValueError(
+            f"{out_dir} already holds {other_ext} shards "
+            f"({len(conflicting)} files); writing {ext} shards would "
+            "overwrite their manifests — use a separate directory per format"
+        )
     done = (
         completed_partitions(out_dir, num_partitions, ext=ext) if resume else set()
     )
@@ -102,13 +146,7 @@ def write_partitioned_parquet(
             pq.write_table(table, tmp)
             n_rows = table.num_rows
         else:
-            out.to_json(
-                tmp,
-                orient="records",
-                lines=True,
-                force_ascii=False,
-                double_precision=15,
-            )
+            _write_jsonl(out, tmp)
             n_rows = len(out)
         manifest = finalize_partition_atomic(
             out_dir, pid, tmp, {"rows": n_rows, "key": key_col}, ext

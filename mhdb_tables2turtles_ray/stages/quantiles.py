@@ -126,6 +126,26 @@ def _scan_stats(ds, col: str, key: str | None, max_groups: int) -> dict:
     return stats
 
 
+def _slice_groups(v: np.ndarray, glab, groups: list) -> dict:
+    """{group: its values} for the distinct groups the brackets need —
+    ONE sort-based split per batch, so per-bracket work below touches
+    only that group's rows (never a full-batch ``glab == g`` compare
+    per bracket, which at the max_groups cap would re-scan every batch
+    hundreds of times)."""
+    if glab is None or not len(v):
+        return {}
+    uniq, inv = np.unique(glab, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    sorted_v = v[order]
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+    wanted = set(groups)
+    return {
+        g: sorted_v[bounds[i]:bounds[i + 1]]
+        for i, g in enumerate(uniq)
+        if g in wanted
+    }
+
+
 def _hist_pass(ds, col: str, key: str | None, brackets: list, bins: int):
     """One scan: per-bracket ``bins``-bin (count, value-min, value-max)
     vectors, merged on the driver (streamed). ``brackets`` entries are
@@ -141,9 +161,11 @@ def _hist_pass(ds, col: str, key: str | None, brackets: list, bins: int):
 
     def partial(batch: pa.Table) -> pa.Table:
         v, glab = _col_and_groups(batch, col, key)
+        by_group = _slice_groups(v, glab, groups)
+        empty = np.empty(0, np.float64)
         counts, mins, maxs = [], [], []
         for g, e in zip(groups, edges):
-            inb = v if g is None else v[glab == g]
+            inb = v if g is None else by_group.get(g, empty)
             inb = inb[(inb >= e[0]) & (inb <= e[-1])]
             idx = np.clip(
                 np.searchsorted(e, inb, side="right") - 1, 0, bins - 1
@@ -182,29 +204,55 @@ def _hist_pass(ds, col: str, key: str | None, brackets: list, bins: int):
     return totals, vmins, vmaxs
 
 
-def _gather_sorted(
-    ds, col: str, key: str | None, group, lo: float, hi: float
-) -> np.ndarray:
-    """All of ``group``'s values in [lo, hi] (inclusive both ends —
-    values equal to ``hi`` that belong to the next bin sort after every
-    in-bracket value and cannot disturb an in-bracket rank), ascending."""
+def _gather_pass(ds, col: str, key: str | None, brackets: list) -> list:
+    """ONE scan collecting EVERY remaining bracket's values at once —
+    list of ascending arrays aligned with ``brackets`` entries
+    ``(group, lo, hi)``. Each bracket gathers [lo, hi] inclusive both
+    ends (values equal to ``hi`` that belong to the next bin sort after
+    every in-bracket value and cannot disturb an in-bracket rank).
+    Never one dataset execution per bracket — grouped callers may have
+    hundreds of brackets left, and each gather is bounded by
+    ``gather_limit`` anyway."""
+    groups = [g for g, _, _ in brackets]
 
     def partial(batch: pa.Table) -> pa.Table:
         v, glab = _col_and_groups(batch, col, key)
-        if group is not None:
-            v = v[glab == group]
-        v = v[(v >= lo) & (v <= hi)]
-        return pa.table({"v": pa.array(v, pa.float64())})
+        by_group = _slice_groups(v, glab, groups)
+        empty = np.empty(0, np.float64)
+        idx_out, val_out = [], []
+        for i, (g, lo, hi) in enumerate(brackets):
+            inb = v if g is None else by_group.get(g, empty)
+            inb = inb[(inb >= lo) & (inb <= hi)]
+            if len(inb):
+                idx_out.append(np.full(len(inb), i, dtype=np.int64))
+                val_out.append(inb)
+        if idx_out:
+            return pa.table(
+                {
+                    "bracket": pa.array(np.concatenate(idx_out), pa.int64()),
+                    "v": pa.array(np.concatenate(val_out), pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "bracket": pa.array([], pa.int64()),
+                "v": pa.array([], pa.float64()),
+            }
+        )
 
-    out = []
+    out: list[list[np.ndarray]] = [[] for _ in brackets]
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
-        arr = b.column("v").to_numpy()
-        if len(arr):
-            out.append(arr)
-    vals = np.concatenate(out) if out else np.empty(0, np.float64)
-    vals.sort(kind="stable")
-    return vals
+        idx = b.column("bracket").to_numpy()
+        vals = b.column("v").to_numpy()
+        for i in np.unique(idx):
+            out[int(i)].append(vals[idx == i])
+    result = []
+    for chunks in out:
+        vals = np.concatenate(chunks) if chunks else np.empty(0, np.float64)
+        vals.sort(kind="stable")
+        result.append(vals)
+    return result
 
 
 def _refine(
@@ -280,25 +328,32 @@ def _refine(
                 f"{max_passes} passes for (group, rank) {sorted(still, key=repr)}"
             )
 
-    # final exact gathers — one per distinct remaining (group, bracket)
+    # final exact gathers — ALL remaining brackets in ONE scan
     remaining = [t for t in targets if t not in resolved]
-    gathers = sorted(
-        {(t[0], state[t][0], state[t][1]) for t in remaining},
-        key=lambda x: (repr(x[0]), x[1], x[2]),
-    )
-    for g, a, b in gathers:
-        vals = _gather_sorted(ds, col, key, g, a, b)
+    if remaining:
+        gathers = sorted(
+            {(t[0], state[t][0], state[t][1]) for t in remaining},
+            key=lambda x: (repr(x[0]), x[1], x[2]),
+        )
+        which_g = {br: i for i, br in enumerate(gathers)}
+        gathered = _gather_pass(ds, col, key, gathers)
         for t in remaining:
             tg, k = t
             ka, kb, below, _ = state[t]
-            if (tg, ka, kb) == (g, a, b):
-                resolved[t] = float(vals[k - below])
+            resolved[t] = float(gathered[which_g[(tg, ka, kb)]][k - below])
 
     out: dict = {}
     for (g, q), p in positions.items():
         lo, hi = int(np.floor(p)), int(np.ceil(p))
-        delta = p - lo
-        out[(g, q)] = resolved[(g, lo)] * (1 - delta) + resolved[(g, hi)] * delta
+        if lo == hi:
+            # integral rank position: no interpolation — the lerp form
+            # would turn an exact ±inf into inf*0 = NaN
+            out[(g, q)] = resolved[(g, lo)]
+        else:
+            delta = p - lo
+            out[(g, q)] = (
+                resolved[(g, lo)] * (1 - delta) + resolved[(g, hi)] * delta
+            )
     return out
 
 

@@ -183,3 +183,19 @@ def test_validation_errors(ray_session):
     ds2 = ray.data.from_arrow(pa.table({"v": pa.array([1.0], pa.float64())}))
     with pytest.raises(ValueError, match="outside"):
         exact_float_quantiles(ds2, "v", (1.5,))
+
+
+def test_infinite_values_and_integral_ranks(ray_session):
+    """±inf values flow through refinement and resolve to ±inf (the
+    integral-rank short-circuit avoids inf*0 = NaN in the lerp)."""
+    import ray
+
+    v = pa.array([1.0, 2.0, float("inf")], pa.float64())
+    ds = ray.data.from_arrow(pa.table({"v": v}))
+    got = exact_float_quantiles(ds, "v", (0.0, 0.5, 1.0), gather_limit=16)
+    assert got[0.0] == 1.0 and got[0.5] == 2.0 and got[1.0] == float("inf")
+    neg = ray.data.from_arrow(
+        pa.table({"v": pa.array([float("-inf"), 3.0], pa.float64())})
+    )
+    got2 = exact_float_quantiles(neg, "v", (0.0,), gather_limit=16)
+    assert got2[0.0] == float("-inf")

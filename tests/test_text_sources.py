@@ -75,3 +75,37 @@ def test_csv_table_reads_and_validates(ray_session, tmp_path):
     assert list(pruned.columns) == ["v"]
     with pytest.raises(ValueError, match="missing"):
         read_csv_table(str(p), columns=["nope"])
+
+
+def test_jsonl_directory_read_skips_manifests(ray_session, tmp_path):
+    """Reading the sink's output DIRECTORY must ignore _manifests/*.json
+    sidecars — only .jsonl shard files feed the corpus."""
+    from mhdb_tables2turtles_ray.pipelines.shards import write_training_shards
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    out = str(tmp_path / "jl")
+    write_training_shards(
+        read_table(SF, "documents", columns=["doc_id", "text"]),
+        out, id_col="doc_id", n_shards=4, file_format="jsonl",
+    )
+    ds = read_jsonl_documents(out)  # the directory, not file paths
+    df = ds.to_pandas()
+    assert set(df.columns) == {"doc_id", "text"}
+    base_ids = set(
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_pylist()
+    )
+    assert len(df) == len(base_ids) and set(df.doc_id) == base_ids
+
+
+def test_mixed_format_directory_refused(ray_session, tmp_path):
+    from mhdb_tables2turtles_ray.pipelines.shards import write_training_shards
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    out = str(tmp_path / "mix")
+    ds = read_table(SF, "documents", columns=["doc_id", "text"])
+    write_training_shards(ds, out, id_col="doc_id", n_shards=4)
+    with pytest.raises(ValueError, match="separate directory"):
+        write_training_shards(
+            ds, out, id_col="doc_id", n_shards=4, file_format="jsonl"
+        )

@@ -21,11 +21,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import resource
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# driver sys.path does NOT propagate to Ray workers — without PYTHONPATH
+# a run started outside the repo hangs forever while workers retry
+# deserializing map_batches functions (the CLAUDE.md gotcha). Must be
+# set BEFORE ray.init so spawned workers inherit it.
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _REPO
+)
 
 
 def replicated_documents(sf_dir: str, replicas: int):
