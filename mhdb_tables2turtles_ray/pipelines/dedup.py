@@ -655,7 +655,7 @@ def _union_find_roots(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _anti_join_non_roots(
-    ds: ray.data.Dataset, comp: ray.data.Dataset
+    ds: ray.data.Dataset, comp: ray.data.Dataset, id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """Corpus minus every component's non-representative members, fully
     streamed: non-root (node != component) ids → thresholded exact key
@@ -676,7 +676,7 @@ def _anti_join_non_roots(
     )
     keys = build_key_filter(dropped, "doc_id", exact_threshold=None)  # anti → exact
     return semi_join(
-        ds.select_columns(["doc_id"]), "doc_id", ray.put(keys), anti=True
+        ds.select_columns([id_col]), id_col, ray.put(keys), anti=True
     )
 
 
@@ -948,6 +948,32 @@ def embedding_lsh_pairs(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("est_cosine", alias_name="est_cosine")
     )
+
+
+def dedup_keep_best_embedding(
+    sf_dir: str | None = None,
+    ds: ray.data.Dataset | None = None,
+    threshold: float = 0.85,
+    cc_max_iters: int = 25,
+    **lsh_kwargs,
+) -> ray.data.Dataset:
+    """Surviving (vec_id) rows after SEMANTIC near-dup removal at
+    corpus scale — the embedding-space sibling of
+    :func:`dedup_keep_best_lsh`, composed from the same scale paths:
+    random-hyperplane LSH pairs (:func:`embedding_lsh_pairs` — vectors
+    never shuffle, 24-byte band rows only) → distributed connected
+    components → exact anti semi-join (``_anti_join_non_roots``; a
+    Bloom false positive here would drop a KEPT doc, so the filter is
+    forced exact). Survivors = each semantic cluster's smallest vec_id
+    + every unclustered vector; no driver union-find, no vector
+    collection."""
+    from ..stages.cc import connected_components
+
+    if ds is None:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_lsh_pairs(ds=ds, threshold=threshold, **lsh_kwargs)
+    comp = connected_components(pairs, max_iters=cc_max_iters)
+    return _anti_join_non_roots(ds, comp, id_col="vec_id")
 
 
 def _index_meta(index_dir: str, expected: dict) -> dict:

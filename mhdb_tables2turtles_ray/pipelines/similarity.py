@@ -709,3 +709,103 @@ def ann_ivf(
     return partials.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas"
     )
+
+
+def knn_graph(
+    sf_dir: str | None = None,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    ds: ray.data.Dataset | None = None,
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank, cosine) for EVERY vector — the
+    all-docs k-NN graph, the unbounded-both-sides member of the ANN
+    family (``ann_topk`` broadcasts a bounded query block; here every
+    vector is a query, so nothing can broadcast).
+
+    IVF shape: trained coarse centroids (``stages/kmeans.py``), then
+    every vector lands in its cosine-nearest cluster as an indexed
+    MEMBER and replicates to its ``nprobe`` nearest clusters as a
+    QUERY (the home row serves as both). One coarse-bucketed grouped
+    map per cluster computes the query × member partial top-k inside
+    the cluster task; a second coarse-bucketed merge keeps each
+    query's global top-k. Exchanges: n × nprobe replica rows (the only
+    time vectors move) and n × nprobe × k candidate rows — never an
+    all-pairs shuffle. Cluster tasks cost O((n/C)² · dim): pick
+    ``n_clusters`` ≈ sqrt(n/dim-budget) as n grows; recall < 1 when a
+    true neighbor lives in an unprobed cluster — data-dependent like
+    every IVF: ≥0.95 on cluster-structured data (pinned in tests),
+    ~0.5 on the near-isotropic synthetic embeddings table where
+    NO coarse quantizer can separate neighborhoods. With ``n_clusters=1`` the graph is EXACT brute
+    force (pinned against a dense numpy reference). Ties break
+    (cosine desc, neighbor_id asc) and cosine rounds to 6 decimals,
+    exactly like ``ann_topk``."""
+    from ..stages.grouped import grouped_map
+    from ..stages.kmeans import kmeans_fit
+
+    if ds is None:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    nprobe = min(nprobe, n_clusters)
+    cents = kmeans_fit(ds, k=n_clusters)
+    cnorm = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    cref = ray.put(cnorm)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        vids = batch.column("vec_id").to_numpy()
+        emb = list_column_to_matrix(batch.column("embedding"))
+        nrm = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        sims = nrm @ c.T
+        probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        n, d = nrm.shape
+        # p-major replication: p == 0 is the home (member) copy
+        rep_ids = np.tile(vids, nprobe)
+        rep_cluster = probes.T.reshape(-1)
+        rep_member = np.repeat(np.arange(nprobe) == 0, n)
+        rep_vecs = np.tile(nrm, (nprobe, 1))
+        return pa.table(
+            {
+                "vec_id": pa.array(rep_ids, pa.int64()),
+                "cluster": pa.array(rep_cluster.astype(np.int64)),
+                "is_member": pa.array(rep_member),
+                "vec": pa.array(
+                    list(rep_vecs), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cluster_topk(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g[g["is_member"]]
+        mids = mem["vec_id"].to_numpy()
+        M = np.stack(mem["vec"].to_numpy())
+        qids = g["vec_id"].to_numpy()
+        Q = np.stack(g["vec"].to_numpy())
+        cos = Q @ M.T
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            allowed = np.nonzero(mids != qids[qi])[0]
+            if not len(allowed):
+                continue
+            order = allowed[
+                np.lexsort((mids[allowed], -cos[qi][allowed]))
+            ][:k]
+            out_q.extend([int(qids[qi])] * len(order))
+            out_v.extend(mids[order].tolist())
+            out_c.extend(cos[qi][order].tolist())
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_v, dtype=np.int64),
+                "cosine": np.array(out_c, dtype=np.float64),
+            }
+        )
+
+    partials = grouped_map(exploded, "cluster", cluster_topk, num_buckets=num_buckets)
+    # per-query global merge: coarse-bucketed (every vector is a fine
+    # key — a fine-key map_groups here would be per-group-overhead-bound)
+    return grouped_map(partials, "query_id", _final_topk(k), num_buckets=num_buckets)
