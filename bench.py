@@ -163,6 +163,8 @@ def run_benchmarks() -> dict:
         "text_bpe_train_encode",
         lambda sf: bp.bpe_encode(sf, bp.train_bpe(sf, num_merges=200)),
     )
+    # all-docs k-NN graph (every vector a query; IVF partitioning)
+    bench("ann_knn_graph", lambda sf: sim.knn_graph(sf, k=5, n_clusters=8, nprobe=2))
     # exact quantiles over an unbounded float domain (multi-pass
     # histogram refinement; dict result — wrap so _consume sees a len)
     from mhdb_tables2turtles_ray.sources.tables import read_table
