@@ -230,3 +230,64 @@ def read_partitioned_parquet(out_dir: str, num_partitions: int):
     done = completed_partitions(out_dir, num_partitions, ext=_EXT)
     paths = [data_path(out_dir, p, _EXT) for p in sorted(done)]
     return ray.data.read_parquet(paths)
+
+
+def write_range_partitioned_parquet(
+    ds,
+    out_dir: str,
+    key_col: str,
+    num_partitions: int = 64,
+    resume: bool = True,
+    file_format: str = "parquet",
+) -> dict:
+    """GLOBALLY SORTED partitioned output: partition ``i`` holds the
+    ``key_col`` range (b_{i-1}, b_i], every file is locally sorted on
+    ``key_col``, so reading part-00000..part-NNNNN in order streams the
+    whole dataset in key order — the range-partitioning counterpart of
+    the hash sink above (hash co-locates a key; range additionally
+    ORDERS the files, the layout a binary-searchable or merge-joinable
+    artifact needs).
+
+    NO global sort runs: the range boundaries are the key's exact
+    ``1/num_partitions`` quantiles (``stages/quantiles.py`` — fixed-size
+    histogram exchanges, a factor-``bins`` narrowing per pass), each row
+    then maps to its range with one ``searchsorted`` per batch, and the
+    per-partition local sort happens inside the partition task. That is
+    the same boundaries-then-local-sort shape a distributed sort uses,
+    but with exact boundaries (no sampling skew) and the resumable
+    atomic-manifest write fused onto the exchange. Numeric keys only
+    (the quantile stage's domain); skewed keys yield uneven ranges but
+    identical ordering guarantees — boundaries land ON the repeated
+    value, so a >1/num_partitions point mass concentrates its partition
+    the same way any range partitioner must.
+
+    Returns the hash-sink summary dict plus ``boundaries`` (the
+    ``num_partitions - 1`` upper bounds). Same manifests, resume and
+    ``file_format`` semantics as :func:`write_partitioned_parquet`."""
+    from .quantiles import exact_float_quantiles
+
+    qs = tuple(i / num_partitions for i in range(1, num_partitions))
+    cuts = exact_float_quantiles(ds.select_columns([key_col]), key_col, qs)
+    boundaries = np.array([cuts[q] for q in qs], dtype=np.float64)
+
+    _RANGE = "__range"
+
+    def add_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        v = df[key_col].to_numpy().astype(np.float64)
+        df[_RANGE] = np.searchsorted(boundaries, v, side="left").astype(np.int64)
+        return df
+
+    summary = write_partitioned_parquet(
+        ds.map_batches(add_range, batch_format="pandas"),
+        out_dir,
+        _RANGE,
+        num_partitions=num_partitions,
+        resume=resume,
+        identity_key=True,
+        sort_within=[key_col],
+        drop_cols=[_RANGE],
+        file_format=file_format,
+    )
+    summary["boundaries"] = boundaries.tolist()
+    return summary

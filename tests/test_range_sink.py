@@ -1,0 +1,62 @@
+"""Range-partitioned (globally sorted) export
+(`stages/parquet_sink.py:write_range_partitioned_parquet`)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from mhdb_tables2turtles_ray.stages.parquet_sink import (
+    write_range_partitioned_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_global_order_and_completeness(ray_session, tmp_path):
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    out = str(tmp_path / "ranges")
+    ds = read_table(SF, "events", columns=["event_id", "value"])
+    summary = write_range_partitioned_parquet(ds, out, "value", num_partitions=8)
+    assert len(summary["boundaries"]) == 7
+    assert sorted(summary["written"]) == list(range(8))
+
+    seen_vals, seen_ids = [], []
+    for pid in range(8):
+        t = pq.read_table(os.path.join(out, f"part-{pid:05d}.parquet"))
+        v = t.column("value").to_numpy()
+        # each file locally sorted
+        assert (np.diff(v) >= 0).all()
+        seen_vals.append(v)
+        seen_ids.extend(t.column("event_id").to_pylist())
+    allv = np.concatenate(seen_vals)
+    # concatenating files in partition order is globally sorted
+    assert (np.diff(allv) >= 0).all()
+    base = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "value"])
+    assert sorted(seen_ids) == sorted(base.column("event_id").to_pylist())
+    assert np.allclose(np.sort(allv), np.sort(base.column("value").to_numpy()))
+
+
+def test_resume_and_jsonl_variant(ray_session, tmp_path):
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    ds = read_table(SF, "events", columns=["event_id", "value"])
+    out = str(tmp_path / "r2")
+    write_range_partitioned_parquet(ds, out, "value", num_partitions=4)
+    again = write_range_partitioned_parquet(ds, out, "value", num_partitions=4)
+    assert again["written"] == [] and len(again["skipped"]) == 4
+
+    jl = str(tmp_path / "jl")
+    write_range_partitioned_parquet(
+        ds, jl, "value", num_partitions=4, file_format="jsonl"
+    )
+    vals = []
+    for pid in range(4):
+        with open(os.path.join(jl, f"part-{pid:05d}.jsonl")) as f:
+            vals.extend(json.loads(line)["value"] for line in f)
+    assert (np.diff(np.array(vals)) >= 0).all()
+    assert len(vals) == ds.count()
