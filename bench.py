@@ -39,8 +39,11 @@ SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "32"))
 
 
 def _consume(ds) -> int:
-    """Fully execute a Dataset (count() is a streaming consume)."""
-    return ds.count() if hasattr(ds, "count") else len(ds)
+    """Fully execute a Dataset (count() is a streaming consume).
+    Plain containers (list/tuple results) just report their length —
+    `hasattr(x, "count")` is NOT the Dataset test (list.count exists
+    but takes an argument)."""
+    return ds.count() if hasattr(ds, "iter_batches") else len(ds)
 
 
 def run_benchmarks() -> dict:

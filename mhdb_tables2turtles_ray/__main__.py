@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     x.add_argument("--sf-dir", required=True)
     x.add_argument("--out", required=True)
     x.add_argument("--key", required=True, help="partition key column")
+    x.add_argument("--range", action="store_true", dest="range_partition",
+                   help="range-partition on --key (numeric) instead of "
+                        "hashing: output files are globally ordered")
     x.add_argument("--partitions", type=int, default=16)
     x.add_argument("--no-resume", action="store_true")
     x.add_argument("--num-cpus", type=int, default=None)
@@ -93,10 +96,18 @@ def main(argv=None) -> int:
             ray.shutdown()
             return 2
         result = reg[args.query](args.sf_dir)
-        summary = write_partitioned_parquet(
-            result, args.out, args.key,
-            num_partitions=args.partitions, resume=not args.no_resume,
-        )
+        if args.range_partition:
+            from .stages.parquet_sink import write_range_partitioned_parquet
+
+            summary = write_range_partitioned_parquet(
+                result, args.out, args.key,
+                num_partitions=args.partitions, resume=not args.no_resume,
+            )
+        else:
+            summary = write_partitioned_parquet(
+                result, args.out, args.key,
+                num_partitions=args.partitions, resume=not args.no_resume,
+            )
         print(json.dumps({"query": args.query, "out_dir": args.out, **summary}))
         ray.shutdown()
         return 0

@@ -94,3 +94,27 @@ def test_cli_shard_and_resume(tmp_path):
     assert first["n_rows"] == 500 and sorted(first["written"]) == [0, 1, 2, 3]
     second = _run(args)  # deterministic resume: nothing to redo
     assert second["written"] == [] and sorted(second["skipped"]) == [0, 1, 2, 3]
+
+
+def test_cli_export_range_partitioned(tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out_dir = str(tmp_path / "rexp")
+    summary = _run([
+        "export",
+        "--query", "text_token_counts",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out_dir,
+        "--key", "n_tokens",
+        "--range",
+        "--partitions", "4",
+        "--num-cpus", "4",
+    ])
+    assert summary["n_rows"] == 500 and len(summary["boundaries"]) == 3
+    vals = np.concatenate([
+        pq.read_table(os.path.join(out_dir, f"part-{p:05d}.parquet"))
+        .column("n_tokens").to_numpy()
+        for p in range(4)
+    ])
+    assert (np.diff(vals) >= 0).all() and len(vals) == 500
