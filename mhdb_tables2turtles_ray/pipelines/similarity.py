@@ -10,6 +10,10 @@
   driver — no vector shuffle), queries probe only the ``nprobe``
   nearest centroids' partitions (read-side filter), then the same
   partial/final top-k within the probed subset.
+- :func:`knn_graph` — the all-docs k-NN graph: EVERY vector is a
+  query (nothing can broadcast), so home-cluster indexing + nprobe
+  query replication + per-cluster partial top-k + coarse-bucketed
+  per-query merge.
 """
 
 from __future__ import annotations
