@@ -239,6 +239,7 @@ def write_range_partitioned_parquet(
     num_partitions: int = 64,
     resume: bool = True,
     file_format: str = "parquet",
+    boundaries=None,
 ) -> dict:
     """GLOBALLY SORTED partitioned output: partition ``i`` holds the
     ``key_col`` range (b_{i-1}, b_i], every file is locally sorted on
@@ -263,12 +264,29 @@ def write_range_partitioned_parquet(
 
     Returns the hash-sink summary dict plus ``boundaries`` (the
     ``num_partitions - 1`` upper bounds). Same manifests, resume and
-    ``file_format`` semantics as :func:`write_partitioned_parquet`."""
-    from .quantiles import exact_float_quantiles
+    ``file_format`` semantics as :func:`write_partitioned_parquet`.
 
-    qs = tuple(i / num_partitions for i in range(1, num_partitions))
-    cuts = exact_float_quantiles(ds.select_columns([key_col]), key_col, qs)
-    boundaries = np.array([cuts[q] for q in qs], dtype=np.float64)
+    Pass ``boundaries`` (``num_partitions - 1`` non-decreasing floats —
+    typically another range export's returned boundaries) to skip the
+    quantile passes and CO-PARTITION this dataset with an existing one:
+    partition ``i`` of both exports then holds the same key range,
+    which is exactly what :func:`co_partitioned_join` needs to join the
+    two without any exchange."""
+    if boundaries is not None:
+        boundaries = np.asarray(boundaries, dtype=np.float64)
+        if len(boundaries) != num_partitions - 1:
+            raise ValueError(
+                f"boundaries must have num_partitions-1 = {num_partitions - 1} "
+                f"entries, got {len(boundaries)}"
+            )
+        if np.any(np.diff(boundaries) < 0):
+            raise ValueError("boundaries must be non-decreasing")
+    else:
+        from .quantiles import exact_float_quantiles
+
+        qs = tuple(i / num_partitions for i in range(1, num_partitions))
+        cuts = exact_float_quantiles(ds.select_columns([key_col]), key_col, qs)
+        boundaries = np.array([cuts[q] for q in qs], dtype=np.float64)
 
     _RANGE = "__range"
 
@@ -291,3 +309,59 @@ def write_range_partitioned_parquet(
     )
     summary["boundaries"] = boundaries.tolist()
     return summary
+
+
+def co_partitioned_join(
+    dir_a: str,
+    dir_b: str,
+    on: str,
+    num_partitions: int,
+    how: str = "inner",
+    suffixes: tuple[str, str] = ("_a", "_b"),
+):
+    """Join two range exports that share boundaries — ZERO exchange.
+
+    Both directories must be complete :func:`write_range_partitioned_parquet`
+    outputs over the SAME ``boundaries`` (write the second with
+    ``boundaries=first_summary["boundaries"]``). Then partition ``i`` of
+    A can only match partition ``i`` of B, so the join is one
+    independent task per partition pair — a Dataset over partition ids
+    whose map stage reads the two part files and pandas-merges them
+    locally. Nothing shuffles, nothing broadcasts; the at-scale cost is
+    exactly the two partition reads per task. This is the payoff of
+    range co-partitioning: the same join as ``shuffle_join`` with the
+    all-to-all amortized into the (resumable, reusable) exports.
+
+    Raises if either directory is missing completed partitions
+    (manifest-gated — a half-written export must be resumed first, not
+    silently joined). ``how``: pandas merge semantics; non-key column
+    collisions take ``suffixes``."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..state.manifest import data_path
+
+    for d in (dir_a, dir_b):
+        done = completed_partitions(d, num_partitions, ext=_EXT)
+        if len(done) != num_partitions:
+            missing = sorted(set(range(num_partitions)) - done)
+            raise ValueError(
+                f"{d} is not a complete {num_partitions}-partition range "
+                f"export (missing/invalid partitions {missing[:8]}...) — "
+                "resume the write first"
+            )
+
+    pids = ray.data.from_items(
+        [{"pid": p} for p in range(num_partitions)]
+    ).repartition(num_partitions)
+
+    def join_pair(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pid in batch["pid"].tolist():
+            a = pq.read_table(data_path(dir_a, int(pid), _EXT)).to_pandas()
+            b = pq.read_table(data_path(dir_b, int(pid), _EXT)).to_pandas()
+            outs.append(a.merge(b, on=on, how=how, suffixes=suffixes))
+        return pd.concat(outs, ignore_index=True)
+
+    return pids.map_batches(join_pair, batch_format="pandas")

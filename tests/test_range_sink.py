@@ -60,3 +60,54 @@ def test_resume_and_jsonl_variant(ray_session, tmp_path):
             vals.extend(json.loads(line)["value"] for line in f)
     assert (np.diff(np.array(vals)) >= 0).all()
     assert len(vals) == ds.count()
+
+
+def test_boundary_reuse_and_co_partitioned_join(ray_session, tmp_path):
+    """Write B with A's boundaries → identical ranges → the join runs
+    one independent task per partition pair, equal to a plain merge."""
+    import pandas as pd
+    import ray
+
+    from mhdb_tables2turtles_ray.stages.parquet_sink import co_partitioned_join
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    dir_a = str(tmp_path / "a")
+    dir_b = str(tmp_path / "b")
+    a_ds = read_table(SF, "events", columns=["event_id", "value"])
+    b_ds = read_table(SF, "events", columns=["event_id", "user_id"])
+    sa = write_range_partitioned_parquet(a_ds, dir_a, "event_id", num_partitions=6)
+    sb = write_range_partitioned_parquet(
+        b_ds, dir_b, "event_id", num_partitions=6, boundaries=sa["boundaries"]
+    )
+    assert sb["boundaries"] == sa["boundaries"]
+
+    joined = co_partitioned_join(dir_a, dir_b, "event_id", 6).to_pandas()
+    base = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "value", "user_id"]
+    ).to_pandas()
+    want = base[["event_id", "value"]].merge(
+        base[["event_id", "user_id"]], on="event_id"
+    )
+    got = joined.sort_values(["event_id"]).reset_index(drop=True)
+    want = want.sort_values(["event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "value", "user_id"]], want[["event_id", "value", "user_id"]]
+    )
+
+
+def test_co_partitioned_join_validation(ray_session, tmp_path):
+    import pytest
+
+    from mhdb_tables2turtles_ray.stages.parquet_sink import co_partitioned_join
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    dir_a = str(tmp_path / "a")
+    ds = read_table(SF, "events", columns=["event_id", "value"])
+    write_range_partitioned_parquet(ds, dir_a, "event_id", num_partitions=4)
+    with pytest.raises(ValueError, match="not a complete"):
+        co_partitioned_join(dir_a, str(tmp_path / "nope"), "event_id", 4)
+    with pytest.raises(ValueError, match="boundaries must have"):
+        write_range_partitioned_parquet(
+            ds, str(tmp_path / "c"), "event_id", num_partitions=4,
+            boundaries=[1.0],
+        )
