@@ -785,6 +785,17 @@ def knn_graph(
 
     def cluster_topk(g: pd.DataFrame) -> pd.DataFrame:
         mem = g[g["is_member"]]
+        if not len(mem):
+            # a centroid can attract probe replicas yet be nobody's
+            # cosine-argmax home — that cluster indexes nothing and
+            # contributes no candidates (np.stack on empty would raise)
+            return pd.DataFrame(
+                {
+                    "query_id": np.array([], dtype=np.int64),
+                    "neighbor_id": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
         mids = mem["vec_id"].to_numpy()
         M = np.stack(mem["vec"].to_numpy())
         qids = g["vec_id"].to_numpy()

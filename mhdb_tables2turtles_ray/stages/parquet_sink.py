@@ -271,7 +271,16 @@ def write_range_partitioned_parquet(
     quantile passes and CO-PARTITION this dataset with an existing one:
     partition ``i`` of both exports then holds the same key range,
     which is exactly what :func:`co_partitioned_join` needs to join the
-    two without any exchange."""
+    two without any exchange.
+
+    The export's structural parameters (key, partition count,
+    boundaries, format) are pinned in ``_range_meta.json`` at creation
+    — the same immutability protocol as the persisted dedup indexes'
+    ``_index_meta.json``: a resumed run reuses the pinned boundaries
+    (no quantile re-scan — completed work costs nothing), a rerun with
+    DIFFERENT params raises instead of silently mixing range layouts,
+    and :func:`co_partitioned_join` verifies both sides against their
+    metas rather than trusting the caller."""
     if boundaries is not None:
         boundaries = np.asarray(boundaries, dtype=np.float64)
         if len(boundaries) != num_partitions - 1:
@@ -281,12 +290,58 @@ def write_range_partitioned_parquet(
             )
         if np.any(np.diff(boundaries) < 0):
             raise ValueError("boundaries must be non-decreasing")
-    else:
+
+    meta_path = os.path.join(out_dir, "_range_meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            meta = json.load(f)
+        for name, got, want in (
+            ("key", meta["key"], key_col),
+            ("num_partitions", meta["num_partitions"], num_partitions),
+            ("file_format", meta["file_format"], file_format),
+        ):
+            if got != want:
+                raise ValueError(
+                    f"{out_dir} is a range export with {name}={got!r}; "
+                    f"rerun requested {name}={want!r} — structural params "
+                    "are pinned at creation (use a fresh directory)"
+                )
+        pinned = np.asarray(meta["boundaries"], dtype=np.float64)
+        if boundaries is not None and not np.array_equal(pinned, boundaries):
+            raise ValueError(
+                f"{out_dir} pins different boundaries than the ones passed "
+                "— co-partitioned layouts are immutable at creation"
+            )
+        boundaries = pinned  # resume: no quantile re-scan
+    elif boundaries is None:
         from .quantiles import exact_float_quantiles
 
         qs = tuple(i / num_partitions for i in range(1, num_partitions))
         cuts = exact_float_quantiles(ds.select_columns([key_col]), key_col, qs)
         boundaries = np.array([cuts[q] for q in qs], dtype=np.float64)
+
+    if meta is None:
+        # pin BEFORE the data write: a killed run resumes under the
+        # same boundaries instead of recomputing (possibly different)
+        # quantiles over changed input
+        import json
+
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = meta_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "key": key_col,
+                    "num_partitions": num_partitions,
+                    "boundaries": boundaries.tolist(),
+                    "file_format": file_format,
+                },
+                f,
+            )
+        os.rename(tmp, meta_path)
 
     _RANGE = "__range"
 
@@ -311,18 +366,30 @@ def write_range_partitioned_parquet(
     return summary
 
 
+def _load_range_meta(d: str) -> dict:
+    import json
+
+    meta_path = os.path.join(d, "_range_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"{d} has no _range_meta.json — not a range export "
+            "(co_partitioned_join only joins range-partitioned outputs)"
+        )
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def co_partitioned_join(
     dir_a: str,
     dir_b: str,
     on: str,
-    num_partitions: int,
     how: str = "inner",
     suffixes: tuple[str, str] = ("_a", "_b"),
 ):
     """Join two range exports that share boundaries — ZERO exchange.
 
     Both directories must be complete :func:`write_range_partitioned_parquet`
-    outputs over the SAME ``boundaries`` (write the second with
+    outputs over the SAME boundaries (write the second with
     ``boundaries=first_summary["boundaries"]``). Then partition ``i`` of
     A can only match partition ``i`` of B, so the join is one
     independent task per partition pair — a Dataset over partition ids
@@ -332,15 +399,40 @@ def co_partitioned_join(
     range co-partitioning: the same join as ``shuffle_join`` with the
     all-to-all amortized into the (resumable, reusable) exports.
 
-    Raises if either directory is missing completed partitions
-    (manifest-gated — a half-written export must be resumed first, not
-    silently joined). ``how``: pandas merge semantics; non-key column
-    collisions take ``suffixes``."""
+    Nothing here is trusted from the caller: both sides' pinned
+    ``_range_meta.json`` must exist, agree on boundaries, key (= ``on``)
+    and parquet format, and every pinned partition must be complete
+    (manifest-gated) — mismatched layouts or a half-written export
+    raise instead of joining silently wrong. ``how``: pandas merge
+    semantics; non-key column collisions take ``suffixes``."""
     import pandas as pd
     import pyarrow.parquet as pq
     import ray.data
 
     from ..state.manifest import data_path
+
+    ma, mb = _load_range_meta(dir_a), _load_range_meta(dir_b)
+    for d, m in ((dir_a, ma), (dir_b, mb)):
+        if m["key"] != on:
+            raise ValueError(
+                f"{d} is range-partitioned on {m['key']!r}, not the join "
+                f"key {on!r} — only the range key co-locates matches"
+            )
+        if m["file_format"] != "parquet":
+            raise ValueError(
+                f"{d} is a {m['file_format']} export; co_partitioned_join "
+                "reads parquet range exports"
+            )
+    if ma["boundaries"] != mb["boundaries"] or (
+        ma["num_partitions"] != mb["num_partitions"]
+    ):
+        raise ValueError(
+            f"{dir_a} and {dir_b} pin different range layouts "
+            f"({ma['num_partitions']} vs {mb['num_partitions']} partitions"
+            ") — write the second export with boundaries="
+            "first_summary['boundaries']"
+        )
+    num_partitions = int(ma["num_partitions"])
 
     for d in (dir_a, dir_b):
         done = completed_partitions(d, num_partitions, ext=_EXT)

@@ -144,3 +144,35 @@ def test_dedup_keep_best_embedding_planted_clusters(ray_session):
     }
     expected = {c * 100 for c in range(10)} | {10_000 + s for s in range(30)}
     assert survivors == expected
+
+
+def test_knn_graph_memberless_cluster(ray_session):
+    """A centroid can attract probe replicas while being nobody's
+    cosine-argmax home (euclidean training vs cosine homes) — such a
+    cluster indexes nothing and must contribute no candidates instead
+    of crashing (regression: np.stack on an empty member set)."""
+    import ray
+
+    from mhdb_tables2turtles_ray.pipelines.similarity import knn_graph
+
+    # 2D: two big-magnitude clusters at 0° and 90°, plus two
+    # small-magnitude points between them — kmeans (euclidean) gives the
+    # small points their own centroid, but their cosine-argmax homes are
+    # the big clusters, leaving the third centroid memberless
+    vecs = (
+        [[10.0 + 0.01 * i, 0.0] for i in range(20)]
+        + [[0.0, 10.0 + 0.01 * i] for i in range(20)]
+        + [[0.17, 0.03], [0.03, 0.17]]
+    )
+    ids = list(range(len(vecs)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+    )
+    got = _graph_rows(knn_graph(ds=ds, k=3, n_clusters=3, nprobe=2))
+    qs = {q for q, _, _, _ in got}
+    assert len(qs) == len(ids)  # every vector produced neighbors

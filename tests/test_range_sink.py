@@ -81,7 +81,7 @@ def test_boundary_reuse_and_co_partitioned_join(ray_session, tmp_path):
     )
     assert sb["boundaries"] == sa["boundaries"]
 
-    joined = co_partitioned_join(dir_a, dir_b, "event_id", 6).to_pandas()
+    joined = co_partitioned_join(dir_a, dir_b, "event_id").to_pandas()
     base = pq.read_table(
         f"{SF}/events.parquet", columns=["event_id", "value", "user_id"]
     ).to_pandas()
@@ -104,10 +104,43 @@ def test_co_partitioned_join_validation(ray_session, tmp_path):
     dir_a = str(tmp_path / "a")
     ds = read_table(SF, "events", columns=["event_id", "value"])
     write_range_partitioned_parquet(ds, dir_a, "event_id", num_partitions=4)
-    with pytest.raises(ValueError, match="not a complete"):
-        co_partitioned_join(dir_a, str(tmp_path / "nope"), "event_id", 4)
+    # not a range export at all
+    with pytest.raises(ValueError, match="_range_meta"):
+        co_partitioned_join(dir_a, str(tmp_path / "nope"), "event_id")
     with pytest.raises(ValueError, match="boundaries must have"):
         write_range_partitioned_parquet(
             ds, str(tmp_path / "c"), "event_id", num_partitions=4,
             boundaries=[1.0],
         )
+    # mismatched layouts (independent quantiles, different partition
+    # counts) refuse to join instead of silently dropping matches
+    dir_b = str(tmp_path / "b8")
+    write_range_partitioned_parquet(ds, dir_b, "event_id", num_partitions=8)
+    with pytest.raises(ValueError, match="different range layouts"):
+        co_partitioned_join(dir_a, dir_b, "event_id")
+    # wrong join key refuses
+    with pytest.raises(ValueError, match="range-partitioned on"):
+        co_partitioned_join(dir_a, dir_a, "value")
+    # structural params pinned: a rerun with different partitioning raises
+    with pytest.raises(ValueError, match="pinned at creation"):
+        write_range_partitioned_parquet(ds, dir_a, "event_id", num_partitions=8)
+    with pytest.raises(ValueError, match="structural params"):
+        write_range_partitioned_parquet(ds, dir_a, "value", num_partitions=4)
+
+
+def test_range_meta_resume_reuses_boundaries(ray_session, tmp_path, monkeypatch):
+    """A resumed (or repeated) range export must NOT recompute
+    quantiles — the pinned _range_meta boundaries are reused."""
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+    from mhdb_tables2turtles_ray.stages import parquet_sink, quantiles
+
+    out = str(tmp_path / "r")
+    ds = read_table(SF, "events", columns=["event_id", "value"])
+    first = write_range_partitioned_parquet(ds, out, "event_id", num_partitions=4)
+
+    def boom(*a, **k):
+        raise AssertionError("quantiles recomputed on resume")
+
+    monkeypatch.setattr(quantiles, "exact_float_quantiles", boom)
+    again = write_range_partitioned_parquet(ds, out, "event_id", num_partitions=4)
+    assert again["written"] == [] and again["boundaries"] == first["boundaries"]
