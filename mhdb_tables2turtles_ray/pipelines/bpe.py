@@ -344,3 +344,55 @@ def bpe_encode(
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def save_bpe_model(model: dict, path: str) -> None:
+    """Persist a trained model as one parquet file: the merges in rank
+    order plus the vocab (id order) and metadata in the file's
+    key-value schema metadata — a single artifact that round-trips
+    exactly (pinned by test) so a tokenizer trained once can encode
+    every later increment of a corpus."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    table = merges_table(model)
+    table = table.replace_schema_metadata(
+        {
+            "bpe_meta": json.dumps(
+                {
+                    "vocab": model["vocab"],
+                    "end_of_word": model["end_of_word"],
+                    "n_words": model["n_words"],
+                    "truncated": model["truncated"],
+                }
+            )
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.rename(tmp, path)
+
+
+def load_bpe_model(path: str) -> dict:
+    """Inverse of :func:`save_bpe_model` — exact round-trip."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    raw = (table.schema.metadata or {}).get(b"bpe_meta")
+    if raw is None:
+        raise ValueError(f"{path} is not a saved BPE model (no bpe_meta)")
+    meta = json.loads(raw)
+    merges = list(
+        zip(table.column("left").to_pylist(), table.column("right").to_pylist())
+    )
+    return {
+        "merges": merges,
+        "vocab": meta["vocab"],
+        "end_of_word": meta["end_of_word"],
+        "n_words": meta["n_words"],
+        "truncated": meta["truncated"],
+    }

@@ -41,6 +41,8 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     length_pct_max: float | None = None,
     ppl_max: float | None = None,
+    embeddings_ds: ray.data.Dataset | None = None,
+    semantic_threshold: float = 0.98,
     decontam_test_ds: ray.data.Dataset | None = None,
     decontam_ngram: int = 8,
     decontam_max_hits: int = 0,
@@ -67,6 +69,15 @@ def curate_corpus(
     carry no evidence and are kept. A Bloom false positive in the
     keep-filter keeps an extra high-perplexity doc — the benign
     direction, same as the exact-dedup keeper.
+
+    Pass ``embeddings_ds`` (a (doc_id, embedding list<float>) Dataset
+    aligned with the corpus) to add a SEMANTIC near-dup stage after the
+    lexical LSH removal: random-hyperplane LSH over the surviving docs'
+    vectors → distributed connected components → keep each semantic
+    cluster's smallest doc_id (``dedup.dedup_keep_best_embedding`` —
+    vectors never shuffle, 24-byte band rows only). Docs WITHOUT an
+    embedding carry no semantic evidence and are kept; the summary
+    gains ``after_semantic_dedup``.
 
     Pass ``decontam_test_ds`` (a (doc_id, text) Dataset of held-out
     benchmark docs) to also drop any surviving doc sharing more than
@@ -130,6 +141,8 @@ def curate_corpus(
         if ppl_max is not None:
             summary["after_perplexity"] = 0
         summary["after_near_dedup"] = 0
+        if embeddings_ds is not None:
+            summary["after_semantic_dedup"] = 0
         if decontam_test_ds is not None:
             # summary schema is a function of the ARGUMENTS, not of how
             # many rows survived — callers read after_decontam whenever
@@ -235,6 +248,27 @@ def curate_corpus(
         ds=exact_docs, threshold=jaccard_threshold, **lsh_kwargs
     ).materialize()
     summary["after_near_dedup"] = int(survivors.count())
+    if embeddings_ds is not None:
+        from .dedup import dedup_keep_best_embedding
+
+        # embeddings of the SURVIVING docs only (a doc removed by the
+        # lexical stages must not vote semantic clusters); docs with no
+        # embedding row are untouched — no evidence, keep
+        skeys2 = build_key_filter(survivors, "doc_id", exact_threshold=None)
+        emb = semi_join(embeddings_ds, "doc_id", ray.put(skeys2))
+        emb = emb.rename_columns({"doc_id": "vec_id"}).materialize()
+        kept = dedup_keep_best_embedding(
+            ds=emb, threshold=semantic_threshold
+        )
+        kkeys = build_key_filter(kept, "vec_id", exact_threshold=None)
+        sem_dropped = semi_join(
+            emb.select_columns(["vec_id"]), "vec_id", ray.put(kkeys), anti=True
+        ).rename_columns({"vec_id": "doc_id"})
+        dkeys = build_key_filter(sem_dropped, "doc_id", exact_threshold=None)
+        survivors = semi_join(
+            survivors, "doc_id", ray.put(dkeys), anti=True
+        ).materialize()
+        summary["after_semantic_dedup"] = int(survivors.count())
     if decontam_test_ds is not None:
         from .text import decontaminate_pair
 

@@ -170,3 +170,32 @@ def test_bpe_encode_null_and_unknown(ray_session):
     # "zz": z unseen -> two UNK pieces
     assert enc.loc[3, "n_unk"] == 2
     assert list(enc.loc[3, "input_ids"]) == [0, 0]
+
+
+def test_save_load_model_round_trip(sf_small, ray_session, tmp_path):
+    from mhdb_tables2turtles_ray.pipelines.bpe import (
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    model = train_bpe(sf_small, num_merges=30)
+    path = str(tmp_path / "bpe.parquet")
+    save_bpe_model(model, path)
+    back = load_bpe_model(path)
+    assert back == model
+    # a loaded model encodes identically to the original
+    a = bpe_encode(sf_small, model).to_pandas().sort_values("doc_id")
+    b = bpe_encode(sf_small, back).to_pandas().sort_values("doc_id")
+    assert (a["n_pieces"].to_numpy() == b["n_pieces"].to_numpy()).all()
+    assert all(
+        list(x) == list(y) for x, y in zip(a["input_ids"], b["input_ids"])
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="bpe_meta"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        other = str(tmp_path / "not_model.parquet")
+        pq.write_table(pa.table({"x": [1]}), other)
+        load_bpe_model(other)

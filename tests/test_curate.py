@@ -482,3 +482,57 @@ def test_curate_length_percentile_cut(ray_session):
     assert full["after_length_cut"] == 105
     with pytest.raises(ValueError, match="length_pct_max"):
         curate_corpus(None, ds=ds, langs=("en",), length_pct_max=1.5)
+
+
+def test_curate_semantic_dedup_stage(ray_session):
+    """embeddings_ds adds a semantic near-dup stage: planted vector
+    clusters among textually-distinct docs collapse to one doc each;
+    docs without an embedding are kept (no evidence)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(40):
+        toks = ["the", "a"] + [f"u{i}w{j}" for j in range(8)]
+        rows.append((i, " ".join(toks)))
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    # docs 0-3 share one embedding direction, 4-7 another; 8-19 unique;
+    # 20-39 have NO embedding row at all
+    dim = 16
+    base1, base2 = rng.normal(0, 1, dim), rng.normal(0, 1, dim)
+    eids, evecs = [], []
+    for i in range(4):
+        eids.append(i); evecs.append(base1 + rng.normal(0, 1e-4, dim))
+    for i in range(4, 8):
+        eids.append(i); evecs.append(base2 + rng.normal(0, 1e-4, dim))
+    for i in range(8, 20):
+        eids.append(i); evecs.append(rng.normal(0, 1, dim))
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(eids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in evecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    survivors_ds, funnel = curate_corpus(
+        None, ds=docs, langs=("en",), embeddings_ds=emb
+    )
+    survivors = {r["doc_id"] for r in survivors_ds.take_all()}
+    assert funnel["after_near_dedup"] == 40  # texts all distinct
+    # clusters {0..3} and {4..7} keep their min id; everyone else stays
+    assert survivors == ({0, 4} | set(range(8, 40)))
+    assert funnel["after_semantic_dedup"] == len(survivors) == 34
