@@ -72,6 +72,29 @@ def main(argv=None) -> int:
     s.add_argument("--no-resume", action="store_true")
     s.add_argument("--num-cpus", type=int, default=None)
 
+    t = sub.add_parser(
+        "tokenize",
+        help="train a BPE tokenizer (--train-merges + --save-model) or "
+             "encode the corpus with a saved one (--model [--out DIR])",
+    )
+    tsrc = t.add_mutually_exclusive_group(required=True)
+    tsrc.add_argument("--input", nargs="+", help="corpus parquet paths/globs")
+    tsrc.add_argument("--sf-dir", help="testdata dir (documents table)")
+    tmode = t.add_mutually_exclusive_group(required=True)
+    tmode.add_argument("--train-merges", type=int, default=None,
+                       help="learn this many merges from the corpus")
+    tmode.add_argument("--model", default=None,
+                       help="encode with this saved model (bpe.save_bpe_model)")
+    t.add_argument("--save-model", default=None,
+                   help="where to persist the trained model (with --train-merges)")
+    t.add_argument("--min-count", type=int, default=1)
+    t.add_argument("--max-words", type=int, default=1_000_000)
+    t.add_argument("--out", default=None,
+                   help="write (doc_id, input_ids, ...) shards here (with --model)")
+    t.add_argument("--partitions", type=int, default=16)
+    t.add_argument("--no-resume", action="store_true")
+    t.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     import ray
@@ -109,6 +132,58 @@ def main(argv=None) -> int:
                 num_partitions=args.partitions, resume=not args.no_resume,
             )
         print(json.dumps({"query": args.query, "out_dir": args.out, **summary}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "tokenize":
+        import ray.data
+
+        from .pipelines import bpe as bpe_mod
+        from .sources.tables import read_table
+
+        if args.sf_dir:
+            ds = read_table(args.sf_dir, "documents", columns=["doc_id", "text"])
+        else:
+            ds = ray.data.read_parquet(args.input)
+        if args.train_merges is not None:
+            model = bpe_mod.train_bpe(
+                args.sf_dir or "",
+                num_merges=args.train_merges,
+                min_count=args.min_count,
+                max_words=args.max_words,
+                ds=ds,
+            )
+            out = {
+                "merges": len(model["merges"]),
+                "vocab": len(model["vocab"]),
+                "n_words": model["n_words"],
+                "truncated": model["truncated"],
+            }
+            if args.save_model:
+                bpe_mod.save_bpe_model(model, args.save_model)
+                out["model_path"] = args.save_model
+            print(json.dumps(out))
+        else:
+            from .stages.parquet_sink import write_partitioned_parquet
+
+            model = bpe_mod.load_bpe_model(args.model)
+            enc = bpe_mod.bpe_encode(args.sf_dir or "", model, ds=ds)
+            if args.out:
+                summary = write_partitioned_parquet(
+                    enc, args.out, "doc_id",
+                    num_partitions=args.partitions,
+                    resume=not args.no_resume,
+                )
+                print(json.dumps({"model": args.model, "out_dir": args.out,
+                                  **summary}))
+            else:
+                stats = enc.map_batches(
+                    lambda tb: tb.select(["n_pieces", "n_unk"]),
+                    batch_format="pyarrow",
+                ).to_pandas().sum()
+                print(json.dumps({"model": args.model,
+                                  "n_pieces": int(stats["n_pieces"]),
+                                  "n_unk": int(stats["n_unk"])}))
         ray.shutdown()
         return 0
 

@@ -302,6 +302,7 @@ def prepare_training_data(
     strip_spans_window: int | None = None,
     bpe_merges: int | None = None,
     bpe_max_words: int = 1_000_000,
+    bpe_model_path: str | None = None,
     shard_file_format: str = "parquet",
     **curate_kwargs,
 ) -> dict:
@@ -338,8 +339,12 @@ def prepare_training_data(
     shard write, so shards carry (uid, doc_id, copy, lang, input_ids,
     n_pieces, n_unk) instead of raw text — training-ready token shards.
     The summary gains a ``bpe`` entry (merges/vocab size, truncation
-    flag). ``shard_file_format="jsonl"`` writes JSONL shards instead of
-    parquet (same manifests/resume).
+    flag). ``bpe_model_path`` instead LOADS a persisted tokenizer
+    (``bpe.save_bpe_model``) and encodes with it — the incremental
+    path: later corpus slices shard under the SAME vocabulary as the
+    first (ids comparable across runs); mutually exclusive with
+    ``bpe_merges``. ``shard_file_format="jsonl"`` writes JSONL shards
+    instead of parquet (same manifests/resume).
     """
     from ..stages.semijoin import build_key_filter, semi_join
     from .shards import _validate_weights, resample_batch, write_training_shards
@@ -385,6 +390,11 @@ def prepare_training_data(
         )
 
     model = None
+    if bpe_merges is not None and bpe_model_path is not None:
+        raise ValueError(
+            "pass bpe_merges (train on this corpus) OR bpe_model_path "
+            "(encode with a persisted tokenizer), not both"
+        )
     if bpe_merges is not None:
         from . import bpe as bpe_mod
 
@@ -399,6 +409,16 @@ def prepare_training_data(
             "merges": len(model["merges"]),
             "vocab": len(model["vocab"]),
             "truncated": model["truncated"],
+        }
+    elif bpe_model_path is not None:
+        from .bpe import load_bpe_model
+
+        model = load_bpe_model(bpe_model_path)
+        summary["bpe"] = {
+            "merges": len(model["merges"]),
+            "vocab": len(model["vocab"]),
+            "truncated": model["truncated"],
+            "loaded_from": bpe_model_path,
         }
 
     def mix(df):

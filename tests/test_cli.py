@@ -118,3 +118,38 @@ def test_cli_export_range_partitioned(tmp_path):
         for p in range(4)
     ])
     assert (np.diff(vals) >= 0).all() and len(vals) == 500
+
+
+def test_cli_tokenize_train_and_encode(tmp_path):
+    model_path = str(tmp_path / "bpe.parquet")
+    trained = _run([
+        "tokenize",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--train-merges", "25",
+        "--save-model", model_path,
+        "--num-cpus", "4",
+    ])
+    assert trained["merges"] == 25 and trained["model_path"] == model_path
+
+    out_dir = str(tmp_path / "tok")
+    encoded = _run([
+        "tokenize",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--model", model_path,
+        "--out", out_dir,
+        "--partitions", "4",
+        "--num-cpus", "4",
+    ])
+    assert encoded["n_rows"] == 500
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(out_dir, "part-00000.parquet"))
+    assert set(t.schema.names) == {"doc_id", "input_ids", "n_pieces", "n_unk"}
+
+    stats = _run([
+        "tokenize",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--model", model_path,
+        "--num-cpus", "4",
+    ])
+    assert stats["n_pieces"] > 0 and stats["n_unk"] == 0

@@ -536,3 +536,38 @@ def test_curate_semantic_dedup_stage(ray_session):
     # clusters {0..3} and {4..7} keep their min id; everyone else stays
     assert survivors == ({0, 4} | set(range(8, 40)))
     assert funnel["after_semantic_dedup"] == len(survivors) == 34
+
+
+def test_prepare_training_data_with_saved_model(ray_session, tmp_path):
+    """bpe_model_path encodes with a persisted tokenizer: shards carry
+    the SAME ids as an in-flow-trained run whose model was saved."""
+    import glob
+    import json as _json
+
+    import pytest
+
+    from mhdb_tables2turtles_ray.pipelines.bpe import save_bpe_model, train_bpe
+    from mhdb_tables2turtles_ray.pipelines.curate import prepare_training_data
+
+    sf = "/root/testdata/sf0.001"
+    # train on the full documents table and persist
+    model = train_bpe(sf, num_merges=20)
+    mpath = str(tmp_path / "m.parquet")
+    save_bpe_model(model, mpath)
+
+    out = str(tmp_path / "o")
+    summary = prepare_training_data(
+        sf, out, n_shards=2, seed=3, langs=("en", "de", "fr"),
+        bpe_model_path=mpath, shard_file_format="jsonl",
+    )
+    assert summary["bpe"]["loaded_from"] == mpath
+    rows = []
+    for f in sorted(glob.glob(f"{out}/*.jsonl")):
+        with open(f, encoding="utf-8") as fh:
+            rows.extend(_json.loads(line) for line in fh)
+    assert rows and all("input_ids" in r for r in rows)
+    with pytest.raises(ValueError, match="not both"):
+        prepare_training_data(
+            sf, str(tmp_path / "x"), n_shards=2,
+            bpe_merges=10, bpe_model_path=mpath,
+        )
