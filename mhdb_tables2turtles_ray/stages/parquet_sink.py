@@ -457,3 +457,48 @@ def co_partitioned_join(
         return pd.concat(outs, ignore_index=True)
 
     return pids.map_batches(join_pair, batch_format="pandas")
+
+
+def read_range_partitioned(
+    out_dir: str,
+    lo: float | None = None,
+    hi: float | None = None,
+):
+    """Read back a range export, PRUNED to the partitions whose key
+    range intersects ``[lo, hi]`` (either side open with ``None``) —
+    the I/O payoff of the sorted layout: a point or band lookup over a
+    10^12-row export reads O(1) files, not the dataset. Pruning is
+    resolved from the pinned ``_range_meta.json`` boundaries with two
+    ``searchsorted`` calls; the returned Dataset is the pruned
+    partitions' rows (each file already sorted on the key — callers
+    still filter exact endpoints, this prunes FILES). Only completed
+    (manifest-valid) partitions are read; a pruned-to partition that is
+    missing raises rather than silently returning a hole."""
+    import ray.data
+
+    from ..state.manifest import data_path
+
+    meta = _load_range_meta(out_dir)
+    if meta["file_format"] != "parquet":
+        raise ValueError(
+            f"{out_dir} is a {meta['file_format']} export; "
+            "read_range_partitioned reads parquet"
+        )
+    n = int(meta["num_partitions"])
+    bounds = np.asarray(meta["boundaries"], dtype=np.float64)
+    # partition i holds (b_{i-1}, b_i]: the first partition that can
+    # contain values >= lo, and the last that can contain values <= hi
+    first = 0 if lo is None else int(np.searchsorted(bounds, lo, side="left"))
+    last = n - 1 if hi is None else int(np.searchsorted(bounds, hi, side="left"))
+    pids = list(range(first, min(last, n - 1) + 1))
+    if not pids:
+        raise ValueError(f"empty key range [{lo}, {hi}] — lo exceeds hi")
+
+    done = completed_partitions(out_dir, n, ext=_EXT)
+    missing = [p for p in pids if p not in done]
+    if missing:
+        raise ValueError(
+            f"{out_dir}: partitions {missing[:8]} in the requested range "
+            "are missing/invalid — resume the write first"
+        )
+    return ray.data.read_parquet([data_path(out_dir, p, _EXT) for p in pids])

@@ -144,3 +144,50 @@ def test_range_meta_resume_reuses_boundaries(ray_session, tmp_path, monkeypatch)
     monkeypatch.setattr(quantiles, "exact_float_quantiles", boom)
     again = write_range_partitioned_parquet(ds, out, "event_id", num_partitions=4)
     assert again["written"] == [] and again["boundaries"] == first["boundaries"]
+
+
+def test_read_range_partitioned_prunes_files(ray_session, tmp_path):
+    """A band lookup reads ONLY the partitions whose range intersects
+    [lo, hi] — verified by deleting every non-pruned partition file and
+    reading anyway (the I/O-pruning proof, same method as the IVF
+    partitioned index test)."""
+    import numpy as np
+    import pytest
+
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+    from mhdb_tables2turtles_ray.stages.parquet_sink import (
+        read_range_partitioned,
+    )
+
+    out = str(tmp_path / "pr")
+    ds = read_table(SF, "events", columns=["event_id", "value"])
+    write_range_partitioned_parquet(ds, out, "value", num_partitions=8)
+
+    base = pq.read_table(f"{SF}/events.parquet", columns=["value"])
+    vals = np.sort(base.column("value").to_numpy())
+    lo, hi = float(vals[len(vals) // 3]), float(vals[len(vals) // 2])
+
+    got = read_range_partitioned(out, lo, hi).to_pandas()
+    # superset of the exact band (file-level pruning), no band row missing
+    in_band = vals[(vals >= lo) & (vals <= hi)]
+    got_band = np.sort(got[(got.value >= lo) & (got.value <= hi)].value.to_numpy())
+    assert np.array_equal(got_band, in_band)
+
+    # physically delete every partition OUTSIDE the pruned set: the read
+    # must not touch them
+    import json as _json
+
+    meta = _json.load(open(os.path.join(out, "_range_meta.json")))
+    bounds = np.asarray(meta["boundaries"])
+    first = int(np.searchsorted(bounds, lo, side="left"))
+    last = min(int(np.searchsorted(bounds, hi, side="left")), 7)
+    for pid in range(8):
+        if not (first <= pid <= last):
+            os.remove(os.path.join(out, f"part-{pid:05d}.parquet"))
+    again = read_range_partitioned(out, lo, hi).to_pandas()
+    assert len(again) == len(got)
+    # ...but a missing partition INSIDE the requested range raises
+    with pytest.raises(ValueError, match="missing"):
+        read_range_partitioned(out)
+    with pytest.raises(ValueError, match="empty key range"):
+        read_range_partitioned(out, hi, lo - 1e9)
