@@ -87,15 +87,33 @@ def main(argv=None) -> int:
                        help="encode with this saved model (bpe.save_bpe_model)")
     t.add_argument("--save-model", default=None,
                    help="where to persist the trained model (with --train-merges)")
-    t.add_argument("--min-count", type=int, default=1)
-    t.add_argument("--max-words", type=int, default=1_000_000)
+    t.add_argument("--min-count", type=int, default=None)
+    t.add_argument("--max-words", type=int, default=None)
     t.add_argument("--out", default=None,
                    help="write (doc_id, input_ids, ...) shards here (with --model)")
-    t.add_argument("--partitions", type=int, default=16)
+    t.add_argument("--partitions", type=int, default=None)
     t.add_argument("--no-resume", action="store_true")
     t.add_argument("--num-cpus", type=int, default=None)
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "tokenize":
+        # a flag for the OTHER mode must error, not silently no-op
+        # (e.g. --train-merges with --out would print training stats
+        # and exit 0 without ever writing the output directory)
+        if args.train_merges is not None:
+            bad = [n for n, v in (("--out", args.out),
+                                  ("--partitions", args.partitions),
+                                  ("--no-resume", args.no_resume or None))
+                   if v is not None]
+        else:
+            bad = [n for n, v in (("--save-model", args.save_model),
+                                  ("--min-count", args.min_count),
+                                  ("--max-words", args.max_words))
+                   if v is not None]
+        if bad:
+            mode = "--train-merges" if args.train_merges is not None else "--model"
+            parser.error(f"{', '.join(bad)} do(es) not apply to {mode} mode")
 
     import ray
 
@@ -149,8 +167,8 @@ def main(argv=None) -> int:
             model = bpe_mod.train_bpe(
                 args.sf_dir or "",
                 num_merges=args.train_merges,
-                min_count=args.min_count,
-                max_words=args.max_words,
+                min_count=args.min_count or 1,
+                max_words=args.max_words or 1_000_000,
                 ds=ds,
             )
             out = {
@@ -171,7 +189,7 @@ def main(argv=None) -> int:
             if args.out:
                 summary = write_partitioned_parquet(
                     enc, args.out, "doc_id",
-                    num_partitions=args.partitions,
+                    num_partitions=args.partitions or 16,
                     resume=not args.no_resume,
                 )
                 print(json.dumps({"model": args.model, "out_dir": args.out,

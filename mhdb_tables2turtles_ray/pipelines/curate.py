@@ -249,20 +249,18 @@ def curate_corpus(
     ).materialize()
     summary["after_near_dedup"] = int(survivors.count())
     if embeddings_ds is not None:
-        from .dedup import dedup_keep_best_embedding
+        from .dedup import embedding_duplicate_ids
 
         # embeddings of the SURVIVING docs only (a doc removed by the
         # lexical stages must not vote semantic clusters); docs with no
-        # embedding row are untouched — no evidence, keep
+        # embedding row are untouched — no evidence, keep. ONE dropped
+        # set, ONE anti-join: the non-root ids come straight from the
+        # removal machinery rather than inverting its kept set back
         skeys2 = build_key_filter(survivors, "doc_id", exact_threshold=None)
         emb = semi_join(embeddings_ds, "doc_id", ray.put(skeys2))
-        emb = emb.rename_columns({"doc_id": "vec_id"}).materialize()
-        kept = dedup_keep_best_embedding(
+        emb = emb.rename_columns({"doc_id": "vec_id"})
+        sem_dropped = embedding_duplicate_ids(
             ds=emb, threshold=semantic_threshold
-        )
-        kkeys = build_key_filter(kept, "vec_id", exact_threshold=None)
-        sem_dropped = semi_join(
-            emb.select_columns(["vec_id"]), "vec_id", ray.put(kkeys), anti=True
         ).rename_columns({"vec_id": "doc_id"})
         dkeys = build_key_filter(sem_dropped, "doc_id", exact_threshold=None)
         survivors = semi_join(
@@ -349,6 +347,13 @@ def prepare_training_data(
     from ..stages.semijoin import build_key_filter, semi_join
     from .shards import _validate_weights, resample_batch, write_training_shards
 
+    if bpe_merges is not None and bpe_model_path is not None:
+        # pure argument validation — must fire BEFORE the (potentially
+        # hours-long) curation funnel runs, not after
+        raise ValueError(
+            "pass bpe_merges (train on this corpus) OR bpe_model_path "
+            "(encode with a persisted tokenizer), not both"
+        )
     wmap = _validate_weights(weights or {}, default_weight)
     caller_ds = curate_kwargs.get("ds")
     survivors, summary = curate_corpus(sf_dir, **curate_kwargs)
@@ -390,11 +395,6 @@ def prepare_training_data(
         )
 
     model = None
-    if bpe_merges is not None and bpe_model_path is not None:
-        raise ValueError(
-            "pass bpe_merges (train on this corpus) OR bpe_model_path "
-            "(encode with a persisted tokenizer), not both"
-        )
     if bpe_merges is not None:
         from . import bpe as bpe_mod
 

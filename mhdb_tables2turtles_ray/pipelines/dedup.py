@@ -950,6 +950,35 @@ def embedding_lsh_pairs(
     )
 
 
+def embedding_duplicate_ids(
+    sf_dir: str | None = None,
+    ds: ray.data.Dataset | None = None,
+    threshold: float = 0.85,
+    cc_max_iters: int = 25,
+    **lsh_kwargs,
+) -> ray.data.Dataset:
+    """(vec_id) of every semantic NON-survivor — the docs a keep-one
+    removal drops: hyperplane-LSH pairs → distributed connected
+    components → non-root (node != component) ids. Exposed separately
+    from :func:`dedup_keep_best_embedding` so composed funnels
+    (``curate.curate_corpus``'s semantic stage) can anti-join their own
+    survivor stream ONCE instead of inverting the kept set back into a
+    dropped set (each inversion is an extra exact key-filter collection
+    + filter pass)."""
+    from ..stages.cc import connected_components
+
+    if ds is None:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_lsh_pairs(ds=ds, threshold=threshold, **lsh_kwargs)
+    comp = connected_components(pairs, max_iters=cc_max_iters)
+
+    def non_roots(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("node"), t.column("component"))
+        return pa.table({"vec_id": t.filter(keep).column("node")})
+
+    return comp.map_batches(non_roots, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dedup_keep_best_embedding(
     sf_dir: str | None = None,
     ds: ray.data.Dataset | None = None,
@@ -960,20 +989,24 @@ def dedup_keep_best_embedding(
     """Surviving (vec_id) rows after SEMANTIC near-dup removal at
     corpus scale — the embedding-space sibling of
     :func:`dedup_keep_best_lsh`, composed from the same scale paths:
-    random-hyperplane LSH pairs (:func:`embedding_lsh_pairs` — vectors
-    never shuffle, 24-byte band rows only) → distributed connected
-    components → exact anti semi-join (``_anti_join_non_roots``; a
-    Bloom false positive here would drop a KEPT doc, so the filter is
-    forced exact). Survivors = each semantic cluster's smallest vec_id
-    + every unclustered vector; no driver union-find, no vector
-    collection."""
-    from ..stages.cc import connected_components
+    :func:`embedding_duplicate_ids` (vectors never shuffle, 24-byte
+    band rows only) → exact anti semi-join (a Bloom false positive
+    here would drop a KEPT doc, so the filter is forced exact).
+    Survivors = each semantic cluster's smallest vec_id + every
+    unclustered vector; no driver union-find, no vector collection."""
+    import ray
+
+    from ..stages.semijoin import build_key_filter, semi_join
 
     if ds is None:
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = embedding_lsh_pairs(ds=ds, threshold=threshold, **lsh_kwargs)
-    comp = connected_components(pairs, max_iters=cc_max_iters)
-    return _anti_join_non_roots(ds, comp, id_col="vec_id")
+    dropped = embedding_duplicate_ids(
+        ds=ds, threshold=threshold, cc_max_iters=cc_max_iters, **lsh_kwargs
+    )
+    keys = build_key_filter(dropped, "vec_id", exact_threshold=None)
+    return semi_join(
+        ds.select_columns(["vec_id"]), "vec_id", ray.put(keys), anti=True
+    )
 
 
 def _index_meta(index_dir: str, expected: dict) -> dict:

@@ -326,7 +326,10 @@ def write_range_partitioned_parquet(
     if meta is None:
         # pin BEFORE the data write: a killed run resumes under the
         # same boundaries instead of recomputing (possibly different)
-        # quantiles over changed input
+        # quantiles over changed input. link()-based publish-or-EEXIST
+        # (the _index_meta protocol, pipelines/dedup.py): a concurrent
+        # first-writer with DIFFERENT params must raise, not last-wins
+        # its meta over partitions assigned under the other layout.
         import json
 
         os.makedirs(out_dir, exist_ok=True)
@@ -341,7 +344,29 @@ def write_range_partitioned_parquet(
                 },
                 f,
             )
-        os.rename(tmp, meta_path)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, meta_path)  # atomic publish-or-EEXIST
+        except FileExistsError:
+            with open(meta_path) as f:
+                winner = json.load(f)
+            if (
+                winner["key"] != key_col
+                or winner["num_partitions"] != num_partitions
+                or winner["file_format"] != file_format
+                or not np.array_equal(
+                    np.asarray(winner["boundaries"], dtype=np.float64),
+                    boundaries,
+                )
+            ):
+                os.unlink(tmp)
+                raise ValueError(
+                    f"{out_dir}: a concurrent writer pinned a DIFFERENT "
+                    "range layout — structural params are immutable at "
+                    "creation (use a fresh directory)"
+                )
+        os.unlink(tmp)
 
     _RANGE = "__range"
 
@@ -434,10 +459,27 @@ def co_partitioned_join(
         )
     num_partitions = int(ma["num_partitions"])
 
+    # completeness check is PRESENCE-level (manifest parses + data file
+    # exists) — sha256-verifying every partition would serially read
+    # both exports in full on the driver before any join task runs,
+    # doubling the documented two-reads-per-task cost; a corrupt file
+    # still fails loudly inside its join task's parquet read
+    from ..state.manifest import manifest_path
+
+    import json as _json
+
     for d in (dir_a, dir_b):
-        done = completed_partitions(d, num_partitions, ext=_EXT)
-        if len(done) != num_partitions:
-            missing = sorted(set(range(num_partitions)) - done)
+        missing = []
+        for p in range(num_partitions):
+            try:
+                with open(manifest_path(d, p)) as f:
+                    _json.load(f)
+            except (OSError, ValueError):
+                missing.append(p)
+                continue
+            if not os.path.exists(data_path(d, p, _EXT)):
+                missing.append(p)
+        if missing:
             raise ValueError(
                 f"{d} is not a complete {num_partitions}-partition range "
                 f"export (missing/invalid partitions {missing[:8]}...) — "
@@ -471,12 +513,15 @@ def read_range_partitioned(
     resolved from the pinned ``_range_meta.json`` boundaries with two
     ``searchsorted`` calls; the returned Dataset is the pruned
     partitions' rows (each file already sorted on the key — callers
-    still filter exact endpoints, this prunes FILES). Only completed
-    (manifest-valid) partitions are read; a pruned-to partition that is
-    missing raises rather than silently returning a hole."""
+    still filter exact endpoints, this prunes FILES). Validation is
+    pruned too: only the partitions the band actually touches are
+    manifest-checked (sha256-verifying ALL partitions would read the
+    whole export on the driver and defeat the O(1)-file point); a
+    pruned-to partition that is missing/invalid raises rather than
+    silently returning a hole."""
     import ray.data
 
-    from ..state.manifest import data_path
+    from ..state.manifest import data_path, partition_done
 
     meta = _load_range_meta(out_dir)
     if meta["file_format"] != "parquet":
@@ -494,8 +539,7 @@ def read_range_partitioned(
     if not pids:
         raise ValueError(f"empty key range [{lo}, {hi}] — lo exceeds hi")
 
-    done = completed_partitions(out_dir, n, ext=_EXT)
-    missing = [p for p in pids if p not in done]
+    missing = [p for p in pids if not partition_done(out_dir, p, ext=_EXT)]
     if missing:
         raise ValueError(
             f"{out_dir}: partitions {missing[:8]} in the requested range "

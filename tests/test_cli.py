@@ -153,3 +153,15 @@ def test_cli_tokenize_train_and_encode(tmp_path):
         "--num-cpus", "4",
     ])
     assert stats["n_pieces"] > 0 and stats["n_unk"] == 0
+
+
+def test_cli_tokenize_rejects_cross_mode_flags(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", "tokenize",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--train-merges", "5", "--out", str(tmp_path / "x"),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert out.returncode != 0
+    assert "--out" in out.stderr and "--train-merges mode" in out.stderr
