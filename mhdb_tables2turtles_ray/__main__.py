@@ -111,6 +111,16 @@ def main(argv=None) -> int:
                                   ("--min-count", args.min_count),
                                   ("--max-words", args.max_words))
                    if v is not None]
+            if args.out is None:
+                # stats-only submode: shard-writing flags would no-op
+                bad += [n for n, v in (("--partitions", args.partitions),
+                                       ("--no-resume", args.no_resume or None))
+                        if v is not None]
+                if bad:
+                    parser.error(
+                        f"{', '.join(bad)} require(s) --out (shard-writing "
+                        "mode); without --out, --model only prints stats"
+                    )
         if bad:
             mode = "--train-merges" if args.train_merges is not None else "--model"
             parser.error(f"{', '.join(bad)} do(es) not apply to {mode} mode")
@@ -195,13 +205,11 @@ def main(argv=None) -> int:
                 print(json.dumps({"model": args.model, "out_dir": args.out,
                                   **summary}))
             else:
-                stats = enc.map_batches(
-                    lambda tb: tb.select(["n_pieces", "n_unk"]),
-                    batch_format="pyarrow",
-                ).to_pandas().sum()
+                # distributed aggregate — never per-doc rows on the driver
+                totals = enc.sum(["n_pieces", "n_unk"])
                 print(json.dumps({"model": args.model,
-                                  "n_pieces": int(stats["n_pieces"]),
-                                  "n_unk": int(stats["n_unk"])}))
+                                  "n_pieces": int(totals["sum(n_pieces)"]),
+                                  "n_unk": int(totals["sum(n_unk)"])}))
         ray.shutdown()
         return 0
 

@@ -372,6 +372,11 @@ def save_bpe_model(model: dict, path: str) -> None:
     )
     tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(table, tmp)
+    fd = os.open(tmp, os.O_RDONLY)  # fsync before publish, like every
+    try:                            # atomic-publish path in the repo
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.rename(tmp, path)
 
 

@@ -43,6 +43,7 @@ def curate_corpus(
     ppl_max: float | None = None,
     embeddings_ds: ray.data.Dataset | None = None,
     semantic_threshold: float = 0.98,
+    semantic_kwargs: dict | None = None,
     decontam_test_ds: ray.data.Dataset | None = None,
     decontam_ngram: int = 8,
     decontam_max_hits: int = 0,
@@ -74,10 +75,14 @@ def curate_corpus(
     aligned with the corpus) to add a SEMANTIC near-dup stage after the
     lexical LSH removal: random-hyperplane LSH over the surviving docs'
     vectors → distributed connected components → keep each semantic
-    cluster's smallest doc_id (``dedup.dedup_keep_best_embedding`` —
+    cluster's smallest doc_id (``dedup.embedding_duplicate_ids`` —
     vectors never shuffle, 24-byte band rows only). Docs WITHOUT an
     embedding carry no semantic evidence and are kept; the summary
-    gains ``after_semantic_dedup``.
+    gains ``after_semantic_dedup``. ``semantic_kwargs`` reaches the
+    removal machinery (``cc_max_iters`` for deep dup-cluster graphs,
+    ``band_bits``/``max_bucket``/``seed`` for the LSH) — a
+    non-convergence RuntimeError must be actionable from here, not a
+    dead end.
 
     Pass ``decontam_test_ds`` (a (doc_id, text) Dataset of held-out
     benchmark docs) to also drop any surviving doc sharing more than
@@ -260,7 +265,7 @@ def curate_corpus(
         emb = semi_join(embeddings_ds, "doc_id", ray.put(skeys2))
         emb = emb.rename_columns({"doc_id": "vec_id"})
         sem_dropped = embedding_duplicate_ids(
-            ds=emb, threshold=semantic_threshold
+            ds=emb, threshold=semantic_threshold, **(semantic_kwargs or {})
         ).rename_columns({"vec_id": "doc_id"})
         dkeys = build_key_filter(sem_dropped, "doc_id", exact_threshold=None)
         survivors = semi_join(

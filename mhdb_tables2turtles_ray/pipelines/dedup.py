@@ -654,30 +654,46 @@ def _union_find_roots(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def _anti_join_non_roots(
-    ds: ray.data.Dataset, comp: ray.data.Dataset, id_col: str = "doc_id"
+def _non_root_ids(
+    comp: ray.data.Dataset, id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Corpus minus every component's non-representative members, fully
-    streamed: non-root (node != component) ids → thresholded exact key
-    filter → anti semi-join. No component collection on the driver
-    (build_key_filter streams its merge). The ONE removal path shared
-    by ``dedup_keep_best(method="distributed")`` and
-    :func:`dedup_keep_best_lsh`."""
+    """(id_col) of every component's non-representative members — the
+    drop set of a keep-one removal. ONE home for the non-root rule:
+    lexical (:func:`_anti_join_non_roots`) and semantic
+    (:func:`embedding_duplicate_ids`) removal both read it."""
+
+    def non_roots(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("node"), t.column("component"))
+        return pa.table({id_col: t.filter(keep).column("node")})
+
+    return comp.map_batches(non_roots, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _anti_join_dropped(
+    ds: ray.data.Dataset, dropped: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Corpus ids minus a dropped-id Dataset, fully streamed: the
+    key filter is forced EXACT (a Bloom false positive here would drop
+    a KEPT doc) and build_key_filter streams its merge — no collection
+    on the driver."""
     import ray
 
     from ..stages.semijoin import build_key_filter, semi_join
 
-    def non_roots(t: pa.Table) -> pa.Table:
-        keep = pc.not_equal(t.column("node"), t.column("component"))
-        return pa.table({"doc_id": t.filter(keep).column("node")})
-
-    dropped = comp.map_batches(
-        non_roots, batch_format="pyarrow", zero_copy_batch=True
-    )
-    keys = build_key_filter(dropped, "doc_id", exact_threshold=None)  # anti → exact
+    keys = build_key_filter(dropped, id_col, exact_threshold=None)
     return semi_join(
         ds.select_columns([id_col]), id_col, ray.put(keys), anti=True
     )
+
+
+def _anti_join_non_roots(
+    ds: ray.data.Dataset, comp: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Corpus minus every component's non-representative members — the
+    ONE removal path shared by ``dedup_keep_best(method="distributed")``,
+    :func:`dedup_keep_best_lsh` and :func:`dedup_keep_best_embedding`
+    (composed from :func:`_non_root_ids` + :func:`_anti_join_dropped`)."""
+    return _anti_join_dropped(ds, _non_root_ids(comp, id_col), id_col)
 
 
 def dedup_keep_best(
@@ -971,12 +987,7 @@ def embedding_duplicate_ids(
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     pairs = embedding_lsh_pairs(ds=ds, threshold=threshold, **lsh_kwargs)
     comp = connected_components(pairs, max_iters=cc_max_iters)
-
-    def non_roots(t: pa.Table) -> pa.Table:
-        keep = pc.not_equal(t.column("node"), t.column("component"))
-        return pa.table({"vec_id": t.filter(keep).column("node")})
-
-    return comp.map_batches(non_roots, batch_format="pyarrow", zero_copy_batch=True)
+    return _non_root_ids(comp, id_col="vec_id")
 
 
 def dedup_keep_best_embedding(
@@ -994,19 +1005,12 @@ def dedup_keep_best_embedding(
     here would drop a KEPT doc, so the filter is forced exact).
     Survivors = each semantic cluster's smallest vec_id + every
     unclustered vector; no driver union-find, no vector collection."""
-    import ray
-
-    from ..stages.semijoin import build_key_filter, semi_join
-
     if ds is None:
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     dropped = embedding_duplicate_ids(
         ds=ds, threshold=threshold, cc_max_iters=cc_max_iters, **lsh_kwargs
     )
-    keys = build_key_filter(dropped, "vec_id", exact_threshold=None)
-    return semi_join(
-        ds.select_columns(["vec_id"]), "vec_id", ray.put(keys), anti=True
-    )
+    return _anti_join_dropped(ds, dropped, id_col="vec_id")
 
 
 def _index_meta(index_dir: str, expected: dict) -> dict:

@@ -514,14 +514,18 @@ def read_range_partitioned(
     ``searchsorted`` calls; the returned Dataset is the pruned
     partitions' rows (each file already sorted on the key — callers
     still filter exact endpoints, this prunes FILES). Validation is
-    pruned too: only the partitions the band actually touches are
-    manifest-checked (sha256-verifying ALL partitions would read the
-    whole export on the driver and defeat the O(1)-file point); a
-    pruned-to partition that is missing/invalid raises rather than
-    silently returning a hole."""
+    pruned AND presence-level: only the partitions the band touches are
+    checked, and the check is manifest-parses + data-file-exists — a
+    sha256 sweep would read every pruned byte on the driver before
+    ``read_parquet`` reads it again (the same cost rule as
+    :func:`co_partitioned_join`; a corrupt file still fails loudly
+    inside its read task). A pruned-to partition that is missing raises
+    rather than silently returning a hole."""
+    import json as _json
+
     import ray.data
 
-    from ..state.manifest import data_path, partition_done
+    from ..state.manifest import data_path, manifest_path
 
     meta = _load_range_meta(out_dir)
     if meta["file_format"] != "parquet":
@@ -531,15 +535,26 @@ def read_range_partitioned(
         )
     n = int(meta["num_partitions"])
     bounds = np.asarray(meta["boundaries"], dtype=np.float64)
+    if lo is not None and hi is not None and lo > hi:
+        # uniform contract: an inverted range is an error even when both
+        # endpoints fall inside ONE partition (where the searchsorted
+        # arithmetic alone would quietly return that file)
+        raise ValueError(f"empty key range [{lo}, {hi}] — lo exceeds hi")
     # partition i holds (b_{i-1}, b_i]: the first partition that can
     # contain values >= lo, and the last that can contain values <= hi
     first = 0 if lo is None else int(np.searchsorted(bounds, lo, side="left"))
     last = n - 1 if hi is None else int(np.searchsorted(bounds, hi, side="left"))
     pids = list(range(first, min(last, n - 1) + 1))
-    if not pids:
-        raise ValueError(f"empty key range [{lo}, {hi}] — lo exceeds hi")
 
-    missing = [p for p in pids if not partition_done(out_dir, p, ext=_EXT)]
+    def _present(p: int) -> bool:
+        try:
+            with open(manifest_path(out_dir, p)) as f:
+                _json.load(f)
+        except (OSError, ValueError):
+            return False
+        return os.path.exists(data_path(out_dir, p, _EXT))
+
+    missing = [p for p in pids if not _present(p)]
     if missing:
         raise ValueError(
             f"{out_dir}: partitions {missing[:8]} in the requested range "
