@@ -72,6 +72,55 @@ def main(argv=None) -> int:
     s.add_argument("--no-resume", action="store_true")
     s.add_argument("--num-cpus", type=int, default=None)
 
+    c = sub.add_parser(
+        "curate",
+        help="the whole training-data prep flow: quality/language filter "
+             "→ dedup → near-dup removal → weighted mix → seeded shards",
+    )
+    csrc = c.add_mutually_exclusive_group(required=True)
+    csrc.add_argument("--input", nargs="+",
+                      help="corpus parquet paths/globs (doc_id, lang, text)")
+    csrc.add_argument("--sf-dir", help="testdata dir (documents table)")
+    c.add_argument("--out", required=True, help="shard output directory")
+    c.add_argument("--shards", type=int, default=8)
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   dest="file_format")
+    c.add_argument("--weights", default=None,
+                   help='per-language mix weights as JSON, e.g. \'{"en": 2.0}\'')
+    c.add_argument("--default-weight", type=float, default=1.0)
+    c.add_argument("--min-tokens", type=int, default=5)
+    c.add_argument("--langs", default="en",
+                   help="comma-separated language allowlist (default: en)")
+    c.add_argument("--length-pct-max", type=float, default=None,
+                   help="drop docs above this token-count percentile (e.g. 0.99)")
+    c.add_argument("--ppl-max", type=float, default=None,
+                   help="drop docs above this bigram-LM perplexity")
+    c.add_argument("--strip-spans-window", type=int, default=None,
+                   help="also strip duplicated token windows of this size")
+    cbpe = c.add_mutually_exclusive_group()
+    cbpe.add_argument("--bpe-merges", type=int, default=None,
+                      help="train a BPE tokenizer on the curated stream and "
+                           "write token shards instead of text")
+    cbpe.add_argument("--bpe-model", default=None,
+                      help="encode with this persisted tokenizer instead")
+    c.add_argument("--no-resume", action="store_true")
+    c.add_argument("--num-cpus", type=int, default=None)
+
+    p = sub.add_parser(
+        "profile",
+        help="one-pass column profile of a table (counts, nulls, "
+             "approx-distinct, min/max) — audit inputs before a big run",
+    )
+    psrc = p.add_mutually_exclusive_group(required=True)
+    psrc.add_argument("--input", nargs="+", help="parquet paths/globs")
+    psrc.add_argument("--sf-dir", help="testdata dir (with --table)")
+    p.add_argument("--table", default=None,
+                   help="table name under --sf-dir (e.g. events, documents)")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated subset (default: every column)")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     t = sub.add_parser(
         "tokenize",
         help="train a BPE tokenizer (--train-merges + --save-model) or "
@@ -124,6 +173,21 @@ def main(argv=None) -> int:
         if bad:
             mode = "--train-merges" if args.train_merges is not None else "--model"
             parser.error(f"{', '.join(bad)} do(es) not apply to {mode} mode")
+
+    if args.cmd == "profile":
+        # pure argument validation — before Ray ever starts
+        if args.sf_dir and not args.table:
+            parser.error("--sf-dir requires --table (which table to profile)")
+        if args.input and args.table:
+            parser.error("--table only applies to --sf-dir")
+
+    if args.cmd == "curate" and args.weights is not None:
+        try:
+            weights = json.loads(args.weights)
+        except ValueError as exc:
+            parser.error(f"--weights is not valid JSON: {exc}")
+        if not isinstance(weights, dict):
+            parser.error("--weights must be a JSON object, e.g. '{\"en\": 2.0}'")
 
     import ray
 
@@ -229,6 +293,55 @@ def main(argv=None) -> int:
             file_format=args.file_format,
         )
         print(json.dumps({"out_dir": args.out, "seed": args.seed, **summary}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "curate":
+        import ray.data
+
+        from .pipelines.curate import prepare_training_data
+
+        kwargs = {}
+        if args.input:
+            kwargs["ds"] = ray.data.read_parquet(
+                args.input, columns=["doc_id", "lang", "text"]
+            )
+        summary = prepare_training_data(
+            args.sf_dir,
+            args.out,
+            weights=json.loads(args.weights) if args.weights else None,
+            default_weight=args.default_weight,
+            n_shards=args.shards,
+            seed=args.seed,
+            resume=not args.no_resume,
+            strip_spans_window=args.strip_spans_window,
+            bpe_merges=args.bpe_merges,
+            bpe_model_path=args.bpe_model,
+            shard_file_format=args.file_format,
+            min_tokens=args.min_tokens,
+            langs=tuple(s for s in args.langs.split(",") if s),
+            length_pct_max=args.length_pct_max,
+            ppl_max=args.ppl_max,
+            **kwargs,
+        )
+        print(json.dumps({"out_dir": args.out, "seed": args.seed, **summary}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "profile":
+        import ray.data
+
+        from .stages.profile import profile_table
+        from .sources.tables import read_table
+
+        cols = ([s for s in args.columns.split(",") if s]
+                if args.columns else None)
+        if args.sf_dir:
+            ds = read_table(args.sf_dir, args.table, columns=cols)
+        else:
+            ds = ray.data.read_parquet(args.input, columns=cols)
+        prof = profile_table(ds, columns=cols)
+        print(json.dumps(prof.to_pylist()))
         ray.shutdown()
         return 0
 

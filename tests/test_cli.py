@@ -155,6 +155,70 @@ def test_cli_tokenize_train_and_encode(tmp_path):
     assert stats["n_pieces"] > 0 and stats["n_unk"] == 0
 
 
+def test_cli_curate_and_resume(tmp_path):
+    out_dir = str(tmp_path / "cur")
+    args = [
+        "curate",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out_dir,
+        "--shards", "4",
+        "--seed", "7",
+        "--weights", '{"en": 1.5}',
+        "--num-cpus", "4",
+    ]
+    first = _run(args)
+    # funnel counts present and monotone through the filtering stages
+    assert first["input"] == 500
+    assert (first["input"] >= first["after_quality_lang"]
+            >= first["after_exact_dedup"] >= first["after_near_dedup"])
+    # weight 1.5 upsamples: the mixed stream exceeds the survivors
+    assert first["after_resample"] > first["after_near_dedup"]
+    assert sorted(first["shards"]["written"]) == [0, 1, 2, 3]
+    assert first["shards"]["n_rows"] == first["after_resample"]
+
+    second = _run(args)  # deterministic resume: nothing to redo
+    assert second["shards"]["written"] == []
+    assert sorted(second["shards"]["skipped"]) == [0, 1, 2, 3]
+
+
+def test_cli_curate_rejects_bad_weights(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", "curate",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--out", str(tmp_path / "x"), "--weights", "[1, 2]",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert out.returncode != 0
+    assert "--weights" in out.stderr
+
+
+def test_cli_profile(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", "profile",
+         "--sf-dir", "/root/testdata/sf0.001", "--table", "events",
+         "--columns", "event_id,user_id", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    by_col = {r["column"]: r for r in rows}
+    assert set(by_col) == {"event_id", "user_id"}
+    assert by_col["event_id"]["n"] == 1000
+    assert by_col["event_id"]["n_null"] == 0
+    assert by_col["event_id"]["min"] == "0" and by_col["event_id"]["max"] == "999"
+
+
+def test_cli_profile_requires_table_with_sf_dir(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", "profile",
+         "--sf-dir", "/root/testdata/sf0.001", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert out.returncode != 0
+    assert "--table" in out.stderr
+
+
 def test_cli_tokenize_rejects_cross_mode_flags(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "mhdb_tables2turtles_ray", "tokenize",
