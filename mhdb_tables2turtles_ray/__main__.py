@@ -162,13 +162,16 @@ def main(argv=None) -> int:
                    if v is not None]
             if args.out is None:
                 # stats-only submode: shard-writing flags would no-op
-                bad += [n for n, v in (("--partitions", args.partitions),
-                                       ("--no-resume", args.no_resume or None))
-                        if v is not None]
-                if bad:
+                # (distinct message from the cross-mode one below — these
+                # flags DO apply to --model mode, just not without --out)
+                need_out = [n for n, v in (("--partitions", args.partitions),
+                                           ("--no-resume", args.no_resume or None))
+                            if v is not None]
+                if need_out and not bad:
                     parser.error(
-                        f"{', '.join(bad)} require(s) --out (shard-writing "
-                        "mode); without --out, --model only prints stats"
+                        f"{', '.join(need_out)} require(s) --out "
+                        "(shard-writing mode); without --out, --model "
+                        "only prints stats"
                     )
         if bad:
             mode = "--train-merges" if args.train_merges is not None else "--model"
@@ -181,13 +184,28 @@ def main(argv=None) -> int:
         if args.input and args.table:
             parser.error("--table only applies to --sf-dir")
 
-    if args.cmd == "curate" and args.weights is not None:
-        try:
-            weights = json.loads(args.weights)
-        except ValueError as exc:
-            parser.error(f"--weights is not valid JSON: {exc}")
-        if not isinstance(weights, dict):
-            parser.error("--weights must be a JSON object, e.g. '{\"en\": 2.0}'")
+    if args.cmd == "curate":
+        # pure argument validation — before Ray ever starts
+        if args.weights is not None:
+            try:
+                args.weights = json.loads(args.weights)
+            except ValueError as exc:
+                parser.error(f"--weights is not valid JSON: {exc}")
+            if not isinstance(args.weights, dict):
+                parser.error(
+                    "--weights must be a JSON object, e.g. '{\"en\": 2.0}'"
+                )
+        from .pipelines.text import LANG_MARKERS
+
+        args.langs = tuple(
+            s.strip() for s in args.langs.split(",") if s.strip()
+        )
+        unsupported = sorted(set(args.langs) - set(LANG_MARKERS))
+        if unsupported:
+            parser.error(
+                f"--langs {unsupported} unsupported; known: "
+                f"{sorted(LANG_MARKERS)}"
+            )
 
     import ray
 
@@ -270,10 +288,13 @@ def main(argv=None) -> int:
                                   **summary}))
             else:
                 # distributed aggregate — never per-doc rows on the driver
-                totals = enc.sum(["n_pieces", "n_unk"])
-                print(json.dumps({"model": args.model,
-                                  "n_pieces": int(totals["sum(n_pieces)"]),
-                                  "n_unk": int(totals["sum(n_unk)"])}))
+                # (sum() yields None entries on a zero-row corpus)
+                totals = enc.sum(["n_pieces", "n_unk"]) or {}
+                print(json.dumps({
+                    "model": args.model,
+                    "n_pieces": int(totals.get("sum(n_pieces)") or 0),
+                    "n_unk": int(totals.get("sum(n_unk)") or 0),
+                }))
         ray.shutdown()
         return 0
 
@@ -309,7 +330,7 @@ def main(argv=None) -> int:
         summary = prepare_training_data(
             args.sf_dir,
             args.out,
-            weights=json.loads(args.weights) if args.weights else None,
+            weights=args.weights,
             default_weight=args.default_weight,
             n_shards=args.shards,
             seed=args.seed,
@@ -319,7 +340,7 @@ def main(argv=None) -> int:
             bpe_model_path=args.bpe_model,
             shard_file_format=args.file_format,
             min_tokens=args.min_tokens,
-            langs=tuple(s for s in args.langs.split(",") if s),
+            langs=args.langs,
             length_pct_max=args.length_pct_max,
             ppl_max=args.ppl_max,
             **kwargs,

@@ -464,21 +464,13 @@ def co_partitioned_join(
     # both exports in full on the driver before any join task runs,
     # doubling the documented two-reads-per-task cost; a corrupt file
     # still fails loudly inside its join task's parquet read
-    from ..state.manifest import manifest_path
-
-    import json as _json
+    from ..state.manifest import partition_present
 
     for d in (dir_a, dir_b):
-        missing = []
-        for p in range(num_partitions):
-            try:
-                with open(manifest_path(d, p)) as f:
-                    _json.load(f)
-            except (OSError, ValueError):
-                missing.append(p)
-                continue
-            if not os.path.exists(data_path(d, p, _EXT)):
-                missing.append(p)
+        missing = [
+            p for p in range(num_partitions)
+            if not partition_present(d, p, ext=_EXT)
+        ]
         if missing:
             raise ValueError(
                 f"{d} is not a complete {num_partitions}-partition range "
@@ -521,11 +513,9 @@ def read_range_partitioned(
     :func:`co_partitioned_join`; a corrupt file still fails loudly
     inside its read task). A pruned-to partition that is missing raises
     rather than silently returning a hole."""
-    import json as _json
-
     import ray.data
 
-    from ..state.manifest import data_path, manifest_path
+    from ..state.manifest import data_path, partition_present
 
     meta = _load_range_meta(out_dir)
     if meta["file_format"] != "parquet":
@@ -546,15 +536,7 @@ def read_range_partitioned(
     last = n - 1 if hi is None else int(np.searchsorted(bounds, hi, side="left"))
     pids = list(range(first, min(last, n - 1) + 1))
 
-    def _present(p: int) -> bool:
-        try:
-            with open(manifest_path(out_dir, p)) as f:
-                _json.load(f)
-        except (OSError, ValueError):
-            return False
-        return os.path.exists(data_path(out_dir, p, _EXT))
-
-    missing = [p for p in pids if not _present(p)]
+    missing = [p for p in pids if not partition_present(out_dir, p, ext=_EXT)]
     if missing:
         raise ValueError(
             f"{out_dir}: partitions {missing[:8]} in the requested range "

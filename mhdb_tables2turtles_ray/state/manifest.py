@@ -45,6 +45,25 @@ def partition_done(out_dir: str, pid: int, ext: str = ".ttl") -> bool:
         return False
 
 
+def partition_present(out_dir: str, pid: int, ext: str = ".ttl") -> bool:
+    """Presence-level check: manifest exists and parses, data file
+    exists — NO sha256 re-read. For readers that prune to a few
+    partitions (:func:`..stages.parquet_sink.read_range_partitioned`)
+    or visit every partition on the driver before fanning out
+    (:func:`..stages.parquet_sink.co_partitioned_join`), where hashing
+    would read the data bytes once on the driver only for the read
+    tasks to read them again; a corrupt file still fails loudly inside
+    its read task. Use :func:`partition_done` when integrity (not just
+    presence) is the contract, e.g. deciding what a resumed WRITE may
+    skip."""
+    try:
+        with open(manifest_path(out_dir, pid)) as f:
+            json.load(f)
+    except (OSError, ValueError):
+        return False
+    return os.path.exists(data_path(out_dir, pid, ext))
+
+
 def completed_partitions(
     out_dir: str, num_partitions: int, ext: str = ".ttl"
 ) -> set[int]:

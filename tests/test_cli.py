@@ -229,3 +229,30 @@ def test_cli_tokenize_rejects_cross_mode_flags(tmp_path):
     )
     assert out.returncode != 0
     assert "--out" in out.stderr and "--train-merges mode" in out.stderr
+
+    # a train-only flag in --model mode gets the cross-mode message,
+    # NOT the misleading "requires --out" one (adding --out would just
+    # trade it for a second error)
+    out = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", "tokenize",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--model", str(tmp_path / "m.parquet"), "--min-count", "3",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert out.returncode != 0
+    assert "--model mode" in out.stderr and "require(s) --out" not in out.stderr
+
+
+def test_cli_curate_rejects_unknown_lang(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", "curate",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--out", str(tmp_path / "x"), "--langs", "en, zz",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    # stripped then validated BEFORE Ray starts: 'en' survives the
+    # space (the unsupported list is exactly ['zz'])
+    assert out.returncode != 0
+    assert "['zz'] unsupported" in out.stderr

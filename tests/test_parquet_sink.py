@@ -65,6 +65,38 @@ def test_resume_skips_done_and_rebuilds_corrupt(events_ds, tmp_path):
     assert {r["event_id"] for r in back.take_all()} == _rows()
 
 
+def test_partition_present_vs_done(events_ds, tmp_path):
+    """partition_present is presence-level (manifest parses + data file
+    exists, no hashing): a byte-corrupt shard is still PRESENT but no
+    longer DONE — the split that lets pruned reads skip the sha256
+    sweep while resume still rebuilds corruption."""
+    from mhdb_tables2turtles_ray.stages.parquet_sink import (
+        write_partitioned_parquet,
+    )
+    from mhdb_tables2turtles_ray.state.manifest import (
+        manifest_path,
+        partition_done,
+        partition_present,
+    )
+
+    out = str(tmp_path / "sink")
+    write_partitioned_parquet(events_ds, out, "user_id", num_partitions=4)
+    assert all(partition_present(out, p, ext=".parquet") for p in range(4))
+
+    with open(os.path.join(out, "part-00001.parquet"), "ab") as f:
+        f.write(b"CORRUPTION")
+    assert partition_present(out, 1, ext=".parquet")  # still present...
+    assert not partition_done(out, 1, ext=".parquet")  # ...but not done
+
+    # an unparseable manifest fails BOTH checks
+    with open(manifest_path(out, 2), "w") as f:
+        f.write("{not json")
+    assert not partition_present(out, 2, ext=".parquet")
+    # a missing data file fails presence even with a good manifest
+    os.remove(os.path.join(out, "part-00000.parquet"))
+    assert not partition_present(out, 0, ext=".parquet")
+
+
 def test_partitioning_is_by_key(events_ds, tmp_path):
     """All rows of a user land in exactly one partition file."""
     import pyarrow.parquet as pq
