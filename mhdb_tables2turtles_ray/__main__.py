@@ -94,6 +94,9 @@ def main(argv=None) -> int:
                    help="comma-separated language allowlist (default: en)")
     c.add_argument("--length-pct-max", type=float, default=None,
                    help="drop docs above this token-count percentile (e.g. 0.99)")
+    c.add_argument("--source-cap", type=int, default=None,
+                   help="keep at most this many docs per source (seeded "
+                        "deterministic per-source quota)")
     c.add_argument("--ppl-max", type=float, default=None,
                    help="drop docs above this bigram-LM perplexity")
     c.add_argument("--strip-spans-window", type=int, default=None,
@@ -195,6 +198,8 @@ def main(argv=None) -> int:
                 parser.error(
                     "--weights must be a JSON object, e.g. '{\"en\": 2.0}'"
                 )
+        if args.source_cap is not None and args.source_cap < 1:
+            parser.error("--source-cap must be >= 1")
         from .pipelines.text import LANG_MARKERS
 
         args.langs = tuple(
@@ -323,10 +328,13 @@ def main(argv=None) -> int:
         from .pipelines.curate import prepare_training_data
 
         kwargs = {}
+        if args.source_cap is not None:
+            kwargs["source_cap"] = args.source_cap
         if args.input:
-            kwargs["ds"] = ray.data.read_parquet(
-                args.input, columns=["doc_id", "lang", "text"]
-            )
+            cols = ["doc_id", "lang", "text"]
+            if args.source_cap is not None:
+                cols.append("source")
+            kwargs["ds"] = ray.data.read_parquet(args.input, columns=cols)
         summary = prepare_training_data(
             args.sf_dir,
             args.out,

@@ -40,6 +40,9 @@ def curate_corpus(
     langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.5,
     length_pct_max: float | None = None,
+    source_cap: int | None = None,
+    source_col: str = "source",
+    cap_seed: int = 42,
     ppl_max: float | None = None,
     embeddings_ds: ray.data.Dataset | None = None,
     semantic_threshold: float = 0.98,
@@ -61,6 +64,17 @@ def curate_corpus(
     dropped. The cut is ≥ the shortest surviving doc's length by
     construction, so the stage can never empty a non-empty corpus; the
     funnel summary gains ``after_length_cut``.
+
+    Pass ``source_cap`` (an int) to add the per-source document quota
+    every web corpus applies (an over-crawled domain must not dominate
+    the mix): at most ``source_cap`` docs survive per distinct
+    ``source_col`` value, chosen by the deterministic seeded
+    smallest-md5 rule (``shards.cap_per_stratum`` — identical survivors
+    at any cluster size; ``cap_seed`` redraws). The cap runs BEFORE the
+    dedup stages so an over-crawled source's excess never pays for
+    digesting or LSH hashing; the summary gains ``after_source_cap``.
+    The input must carry ``source_col`` (read automatically on the
+    ``sf_dir`` path, validated loudly on the ``ds`` path).
 
     Pass ``ppl_max`` to add the CCNet-style statistical quality stage:
     a bigram LM is trained on the exact-deduped docs themselves
@@ -107,7 +121,18 @@ def curate_corpus(
         )
 
     if ds is None:
-        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        cols = ["doc_id", "text"]
+        if source_cap is not None:
+            cols.append(source_col)  # only ship the column when capping
+        ds = read_table(sf_dir, "documents", columns=cols)
+    elif source_cap is not None:
+        names = (ds.schema() or pa.schema([])).names
+        if source_col not in names:
+            raise ValueError(
+                f"source_cap needs a {source_col!r} column on the input "
+                f"(got {sorted(names)}) — pass source_col= if it is "
+                "named differently"
+            )
     # count without materializing: for the parquet path this is a
     # metadata-only answer; a caller-supplied derived Dataset pays one
     # extra execution, which beats pinning the whole corpus in the
@@ -143,6 +168,8 @@ def curate_corpus(
         }
         if length_pct_max is not None:
             summary["after_length_cut"] = 0
+        if source_cap is not None:
+            summary["after_source_cap"] = 0
         if ppl_max is not None:
             summary["after_perplexity"] = 0
         summary["after_near_dedup"] = 0
@@ -190,6 +217,33 @@ def curate_corpus(
         ).materialize()
         n_length_cut = filtered.count()
 
+    n_source_cap = None
+    if source_cap is not None:
+        # per-source quota BEFORE the dedup stages: an over-crawled
+        # source is capped first so its excess never pays for digesting,
+        # LSH hashing or component finding. Deterministic smallest-k by
+        # md5(seed:doc_id) per source (shards.cap_per_stratum) — the
+        # keep-filter is EXACT like every funnel filter (a Bloom false
+        # positive would keep a doc beyond its source's quota).
+        from .shards import cap_per_stratum
+
+        capped = cap_per_stratum(
+            filtered.select_columns(["doc_id", source_col]),
+            source_col,
+            source_cap,
+            seed=cap_seed,
+        )
+        ckeys = build_key_filter(capped, "doc_id", exact_threshold=None)
+        # the cap is the source column's only consumer — drop it here so
+        # the dedup/LSH stages never ship it through their shuffles
+        keep_cols = [c for c in filtered.schema().names if c != source_col]
+        filtered = (
+            semi_join(filtered, "doc_id", ray.put(ckeys))
+            .select_columns(keep_cols)
+            .materialize()
+        )
+        n_source_cap = filtered.count()
+
     def digest(batch: pa.Table) -> pa.Table:
         keys = [
             hashlib.md5(t.encode("utf-8")).hexdigest()
@@ -214,19 +268,13 @@ def curate_corpus(
     exact_docs = semi_join(filtered, "doc_id", ray.put(keys)).materialize()
     n_exact = exact_docs.count()
 
-    summary = {
-        "input": int(n_input),
-        "after_quality_lang": int(n_filtered),
-        "after_exact_dedup": int(n_exact),
-    }
+    # keys in funnel order: quality → [length cut] → [source cap] → dedup
+    summary = {"input": int(n_input), "after_quality_lang": int(n_filtered)}
     if n_length_cut is not None:
-        # keep funnel order: the cut runs between quality and dedup
-        summary = {
-            "input": summary["input"],
-            "after_quality_lang": summary["after_quality_lang"],
-            "after_length_cut": int(n_length_cut),
-            "after_exact_dedup": summary["after_exact_dedup"],
-        }
+        summary["after_length_cut"] = int(n_length_cut)
+    if n_source_cap is not None:
+        summary["after_source_cap"] = int(n_source_cap)
+    summary["after_exact_dedup"] = int(n_exact)
 
     if ppl_max is not None:
         from .lm import score_perplexity

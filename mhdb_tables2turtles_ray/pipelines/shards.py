@@ -258,6 +258,54 @@ def stratified_sample(
     )
 
 
+def cap_per_stratum(
+    ds: ray.data.Dataset,
+    stratum_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """(stratum, id) of the ≤ ``k`` rows per stratum with the smallest
+    md5 permutation key — the per-source/per-domain document cap every
+    web corpus applies (an over-crawled domain must not dominate the
+    training mix). Same deterministic smallest-k rule as
+    :func:`stratified_sample` (two runs at any cluster size pick the
+    identical survivors; a different seed is a fresh draw), but built
+    for UNBOUNDED stratum cardinality: web-scale source domains number
+    in the millions, so the final per-stratum merge rides the
+    coarse-bucketed ``grouped_map`` (256-way hash-bucket shuffle,
+    pandas fine-key groupby inside each bucket task) instead of a
+    fine-key ``groupby().map_groups`` whose per-group overhead would
+    dominate. The exchange still carries only the per-batch partial
+    top-k rows (≤ strata-per-batch × #batches × k), never the corpus.
+
+    Rows with a NULL stratum are dropped (``grouped_map``'s pandas
+    groupby semantics) — a doc with no source carries no quota
+    evidence; keep-them semantics belong to the caller via fill_null
+    upstream."""
+    if k < 1:
+        raise ValueError(f"cap k must be >= 1, got {k}")
+    from ..stages.grouped import grouped_map
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[stratum_col, id_col]].copy(deep=False)
+        df[_HK] = _seeded_hex(df[id_col].tolist(), seed)
+        df = df.sort_values([_HK, id_col], kind="mergesort")
+        return df.groupby(stratum_col, sort=False).head(k)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([_HK, id_col], kind="mergesort").head(k)
+        return part[[stratum_col, id_col]]
+
+    return grouped_map(
+        ds.map_batches(partial, batch_format="pandas"),
+        stratum_col,
+        final,
+        num_buckets=num_buckets,
+    )
+
+
 def resample_corpus(
     sf_dir: str,
     weights: dict[str, float],

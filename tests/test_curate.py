@@ -41,6 +41,69 @@ def test_curate_corpus_funnel(ray_session):
     assert not any(a in survivors and b in survivors for a, b in pairs)
 
 
+def test_curate_source_cap_stage(ray_session):
+    """Per-source quota: every source is represented by at most
+    ``source_cap`` survivors and the stage slots between the quality
+    filter and exact dedup. (No subset-of-uncapped claim: capping away
+    a dup cluster's smallest doc legitimately changes which
+    representative the keep-one stages pick.)"""
+    import pyarrow.parquet as pq
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    langs = ("en", "de", "fr")
+    cap = 5
+    capped_ds, funnel = curate_corpus(sf, langs=langs, source_cap=cap)
+    capped = {r["doc_id"] for r in capped_ds.take_all()}
+
+    assert (
+        funnel["after_quality_lang"]
+        >= funnel["after_source_cap"]
+        >= funnel["after_exact_dedup"]
+        >= funnel["after_near_dedup"]
+        == len(capped)
+        > 0
+    )
+    # funnel keys in stage order
+    keys = list(funnel)
+    assert keys.index("after_quality_lang") < keys.index("after_source_cap")
+    assert keys.index("after_source_cap") < keys.index("after_exact_dedup")
+
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "source"]
+    )
+    src = dict(
+        zip(docs.column("doc_id").to_pylist(), docs.column("source").to_pylist())
+    )
+    counts: dict[str, int] = {}
+    for d in capped:
+        counts[src[d]] = counts.get(src[d], 0) + 1
+    assert max(counts.values()) <= cap
+    # the cap actually bit: without it at least one source exceeds it
+    uncapped_ds, unfunnel = curate_corpus(sf, langs=langs)
+    ucounts: dict[str, int] = {}
+    for r in uncapped_ds.take_all():
+        s = src[r["doc_id"]]
+        ucounts[s] = ucounts.get(s, 0) + 1
+    assert max(ucounts.values()) > cap
+    assert "after_source_cap" not in unfunnel
+
+
+def test_curate_source_cap_requires_column(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["one two three four five"] * 2})
+    )
+    with pytest.raises(ValueError, match="source"):
+        curate_corpus(ds=ds, source_cap=5)
+
+
 def test_curate_corpus_language_filter(ray_session):
     """Restricting langs shrinks (or keeps equal) the first funnel stage."""
     from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus

@@ -215,6 +215,71 @@ def test_stratified_sample_deterministic_and_seed_sensitive(ray_session):
     )
 
 
+def test_cap_per_stratum_matches_sql_rule(ray_session):
+    """The per-source cap IS the SQL row_number-over-md5 rule: DuckDB
+    replays the exact survivor set (md5 hex matches hashlib's)."""
+    import duckdb
+
+    from mhdb_tables2turtles_ray.pipelines.shards import cap_per_stratum
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    k = 7
+    ds = read_table(SF, "documents", columns=["doc_id", "source"])
+    got = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_stratum(ds, "source", k, seed=SEED).take_all()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('{SEED}:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rk
+                FROM read_parquet('{SF}/documents.parquet')
+            ) WHERE rk <= {k}
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_cap_per_stratum_invariance_and_validation(ray_session):
+    from mhdb_tables2turtles_ray.pipelines.shards import cap_per_stratum
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    ds = read_table(SF, "documents", columns=["doc_id", "source"])
+    a = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_stratum(ds, "source", 5, seed=SEED).take_all()
+    }
+    # block layout cannot change the survivor set
+    b = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_stratum(
+            ds.repartition(13), "source", 5, seed=SEED
+        ).take_all()
+    }
+    assert a == b
+    # a different seed is a different draw
+    c = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_stratum(ds, "source", 5, seed=SEED + 1).take_all()
+    }
+    assert a != c
+    # a cap at-or-above every stratum's size keeps everything
+    n = ds.count()
+    full = cap_per_stratum(ds, "source", n, seed=SEED)
+    assert full.count() == n
+
+    with pytest.raises(ValueError, match="cap k"):
+        cap_per_stratum(ds, "source", 0)
+
+
 def test_pack_sequences_null_text_counts_zero(ray_session, tmp_path):
     """Null text counts as 0 tokens BY RULE (the curate.py convention):
     one null doc must not NaN-poison its shard's cumulative sum or
