@@ -74,7 +74,10 @@ def curate_corpus(
     dedup stages so an over-crawled source's excess never pays for
     digesting or LSH hashing; the summary gains ``after_source_cap``.
     The input must carry ``source_col`` (read automatically on the
-    ``sf_dir`` path, validated loudly on the ``ds`` path).
+    ``sf_dir`` path, validated loudly on the ``ds`` path); docs with a
+    NULL source carry no quota evidence and are KEPT — the same
+    no-evidence→keep convention as null perplexity and missing
+    embeddings.
 
     Pass ``ppl_max`` to add the CCNet-style statistical quality stage:
     a bigram LM is trained on the exact-deduped docs themselves
@@ -120,6 +123,13 @@ def curate_corpus(
             f"only ever produces {sorted(supported)}"
         )
 
+    if source_cap is not None and source_cap < 1:
+        # pure argument validation — before the (potentially hours-long)
+        # quality-filter pass runs, and independent of how many rows
+        # survive it (cap_per_stratum's own check would never fire on
+        # an emptied corpus)
+        raise ValueError(f"source_cap must be >= 1, got {source_cap}")
+
     if ds is None:
         cols = ["doc_id", "text"]
         if source_cap is not None:
@@ -161,15 +171,13 @@ def curate_corpus(
         empty = ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64())})
         )
-        summary = {
-            "input": int(n_input),
-            "after_quality_lang": 0,
-            "after_exact_dedup": 0,
-        }
+        # keys in funnel stage order, same as the non-empty path
+        summary = {"input": int(n_input), "after_quality_lang": 0}
         if length_pct_max is not None:
             summary["after_length_cut"] = 0
         if source_cap is not None:
             summary["after_source_cap"] = 0
+        summary["after_exact_dedup"] = 0
         if ppl_max is not None:
             summary["after_perplexity"] = 0
         summary["after_near_dedup"] = 0
@@ -232,16 +240,31 @@ def curate_corpus(
             source_col,
             source_cap,
             seed=cap_seed,
+        ).materialize()  # consumed twice below (count + unique)
+        ckeys_ref = ray.put(
+            build_key_filter(capped, "doc_id", exact_threshold=None)
         )
-        ckeys = build_key_filter(capped, "doc_id", exact_threshold=None)
         # the cap is the source column's only consumer — drop it here so
         # the dedup/LSH stages never ship it through their shuffles
         keep_cols = [c for c in filtered.schema().names if c != source_col]
-        filtered = (
-            semi_join(filtered, "doc_id", ray.put(ckeys))
-            .select_columns(keep_cols)
-            .materialize()
-        )
+
+        def cap_keep(t: pa.Table) -> pa.Table:
+            # a doc with a NULL source carries no quota evidence: KEEP
+            # (the funnel's no-evidence→keep convention — null
+            # perplexity kept, missing embedding kept); cap_per_stratum
+            # never saw it (pandas groupby drops null strata)
+            import ray as _ray
+
+            keys = _ray.get(ckeys_ref)
+            in_cap = np.isin(t.column("doc_id").to_numpy(), keys)
+            no_src = pc.is_null(t.column(source_col)).to_numpy(
+                zero_copy_only=False
+            )
+            return t.filter(pa.array(in_cap | no_src)).select(keep_cols)
+
+        filtered = filtered.map_batches(
+            cap_keep, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
         n_source_cap = filtered.count()
 
     def digest(batch: pa.Table) -> pa.Table:

@@ -236,13 +236,10 @@ def stratified_sample(
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df[_HK] = _seeded_hex(df["doc_id"].tolist(), seed)
-        df = df.sort_values([_HK, "doc_id"], kind="mergesort")
-        return df.groupby("lang", sort=False).head(k)
+        return _smallest_k_partial(df, "lang", "doc_id", k, seed)
 
     def final(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values([_HK, "doc_id"], kind="mergesort").head(k)
+        part = _smallest_k_merge(part, "doc_id", k)
         return pd.DataFrame(
             {
                 "lang": part["lang"].to_numpy(),
@@ -256,6 +253,28 @@ def stratified_sample(
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def _smallest_k_partial(
+    df: pd.DataFrame, stratum_col: str, id_col: str, k: int, seed: int
+) -> pd.DataFrame:
+    """Per-batch partial of the seeded smallest-k rule: md5 permutation
+    key, stable (hk, id) order, ``head(k)`` per stratum. ONE home for
+    the selection rule — :func:`stratified_sample` and
+    :func:`cap_per_stratum` both ride it, so the shared SQL
+    row_number-over-md5 oracle can never diverge between them."""
+    df = df[[stratum_col, id_col]].copy(deep=False)
+    df[_HK] = _seeded_hex(df[id_col].tolist(), seed)
+    df = df.sort_values([_HK, id_col], kind="mergesort")
+    return df.groupby(stratum_col, sort=False).head(k)
+
+
+def _smallest_k_merge(
+    part: pd.DataFrame, id_col: str, k: int
+) -> pd.DataFrame:
+    """Final merge of one stratum's partials: same (hk, id) order,
+    global ``head(k)``."""
+    return part.sort_values([_HK, id_col], kind="mergesort").head(k)
 
 
 def cap_per_stratum(
@@ -289,14 +308,10 @@ def cap_per_stratum(
     from ..stages.grouped import grouped_map
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[[stratum_col, id_col]].copy(deep=False)
-        df[_HK] = _seeded_hex(df[id_col].tolist(), seed)
-        df = df.sort_values([_HK, id_col], kind="mergesort")
-        return df.groupby(stratum_col, sort=False).head(k)
+        return _smallest_k_partial(df, stratum_col, id_col, k, seed)
 
     def final(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values([_HK, id_col], kind="mergesort").head(k)
-        return part[[stratum_col, id_col]]
+        return _smallest_k_merge(part, id_col, k)[[stratum_col, id_col]]
 
     return grouped_map(
         ds.map_batches(partial, batch_format="pandas"),

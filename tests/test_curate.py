@@ -90,6 +90,60 @@ def test_curate_source_cap_stage(ray_session):
     assert "after_source_cap" not in unfunnel
 
 
+def test_curate_source_cap_null_source_kept(ray_session):
+    """A doc with a NULL source carries no quota evidence: it bypasses
+    the cap (the funnel's no-evidence→keep convention) — and an
+    all-null source column cannot empty the corpus through the cap."""
+    import pyarrow as pa
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    # distinct content words per doc (only the en markers shared), so
+    # the near-dup stages remove nothing and the cap is the only cut
+    def text(i):
+        return f"the w{i}a w{i}b w{i}c and w{i}d w{i}e w{i}f w{i}g"
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "text": pa.array([text(i) for i in range(8)], pa.string()),
+                "source": pa.array(
+                    ["s"] * 4 + [None] * 4, pa.string()
+                ),
+            }
+        )
+    )
+    survivors, funnel = curate_corpus(ds=ds, source_cap=2)
+    kept = {r["doc_id"] for r in survivors.take_all()}
+    # 2 of the 4 sourced docs capped away; all 4 null-source docs kept
+    assert funnel["after_source_cap"] == 6
+    assert len(kept & {4, 5, 6, 7}) == 4
+
+    all_null = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array([text(i) for i in range(4)], pa.string()),
+                "source": pa.array([None] * 4, pa.string()),
+            }
+        )
+    )
+    survivors2, funnel2 = curate_corpus(ds=all_null, source_cap=1)
+    assert funnel2["after_source_cap"] == 4
+    assert {r["doc_id"] for r in survivors2.take_all()} == {0, 1, 2, 3}
+
+
+def test_curate_source_cap_invalid_cap_fails_fast(ray_session):
+    import pytest
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    with pytest.raises(ValueError, match="source_cap"):
+        curate_corpus("/root/testdata/sf0.001", source_cap=0)
+
+
 def test_curate_source_cap_requires_column(ray_session):
     import pyarrow as pa
     import pytest
