@@ -110,6 +110,44 @@ def main(argv=None) -> int:
     c.add_argument("--no-resume", action="store_true")
     c.add_argument("--num-cpus", type=int, default=None)
 
+    d = sub.add_parser(
+        "dedup",
+        help="filter a corpus increment against a persisted dedup index "
+             "(exact md5 by default, --near for minhash signatures); "
+             "survivors are appended to the index as a new generation",
+    )
+    dsrc = d.add_mutually_exclusive_group(required=True)
+    dsrc.add_argument("--input", nargs="+",
+                      help="increment parquet paths/globs (doc_id, text)")
+    dsrc.add_argument("--sf-dir", help="testdata dir (documents table)")
+    d.add_argument("--index", required=True, dest="index_dir",
+                   help="persisted index directory (created on first use; "
+                        "structural params pinned there)")
+    d.add_argument("--near", action="store_true",
+                   help="minhash near-dup mode instead of exact md5")
+    d.add_argument("--partitions", type=int, default=None,
+                   help="index hash partitions (pinned at creation; "
+                        "default 16 exact / 32 near)")
+    d.add_argument("--exact-threshold", type=int, default=None,
+                   help="exact mode: max indexed digests before the "
+                        "seen-set switches to a Bloom filter")
+    d.add_argument("--fpp", type=float, default=None,
+                   help="exact mode: Bloom false-positive rate")
+    d.add_argument("--num-perm", type=int, default=None,
+                   help="near mode: minhash permutations (pinned)")
+    d.add_argument("--bands", type=int, default=None,
+                   help="near mode: LSH bands (pinned)")
+    d.add_argument("--shingle-k", type=int, default=None,
+                   help="near mode: shingle size (pinned)")
+    d.add_argument("--threshold", type=float, default=None,
+                   help="near mode: est-Jaccard duplicate threshold")
+    d.add_argument("--bloom-capacity", type=int, default=None,
+                   help="near mode: Bloom sidecar capacity (pinned)")
+    d.add_argument("--out", default=None,
+                   help="also write the surviving rows as resumable "
+                        "partitioned parquet here")
+    d.add_argument("--num-cpus", type=int, default=None)
+
     p = sub.add_parser(
         "profile",
         help="one-pass column profile of a table (counts, nulls, "
@@ -186,6 +224,24 @@ def main(argv=None) -> int:
             parser.error("--sf-dir requires --table (which table to profile)")
         if args.input and args.table:
             parser.error("--table only applies to --sf-dir")
+
+    if args.cmd == "dedup":
+        # a flag for the OTHER mode must error, not silently no-op
+        near_only = [n for n, v in (("--num-perm", args.num_perm),
+                                    ("--bands", args.bands),
+                                    ("--shingle-k", args.shingle_k),
+                                    ("--threshold", args.threshold),
+                                    ("--bloom-capacity", args.bloom_capacity))
+                     if v is not None]
+        exact_only = [n for n, v in (("--exact-threshold",
+                                      args.exact_threshold),
+                                     ("--fpp", args.fpp))
+                      if v is not None]
+        if args.near and exact_only:
+            parser.error(f"{', '.join(exact_only)} do(es) not apply to "
+                         "--near mode")
+        if not args.near and near_only:
+            parser.error(f"{', '.join(near_only)} require(s) --near")
 
     if args.cmd == "curate":
         # pure argument validation — before Ray ever starts
@@ -319,6 +375,56 @@ def main(argv=None) -> int:
             file_format=args.file_format,
         )
         print(json.dumps({"out_dir": args.out, "seed": args.seed, **summary}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "dedup":
+        import ray.data
+
+        from .pipelines import dedup as dedup_mod
+        from .sources.tables import read_table
+
+        if args.sf_dir:
+            ds = read_table(args.sf_dir, "documents", columns=["doc_id", "text"])
+        else:
+            ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+        n_input = ds.count()
+        kwargs = {
+            k: v
+            for k, v in (
+                ("num_partitions", args.partitions),
+                ("exact_threshold", args.exact_threshold),
+                ("fpp", args.fpp),
+                ("num_perm", args.num_perm),
+                ("bands", args.bands),
+                ("shingle_k", args.shingle_k),
+                ("threshold", args.threshold),
+                ("bloom_capacity", args.bloom_capacity),
+            )
+            if v is not None
+        }
+        fn = (dedup_mod.incremental_minhash_dedup if args.near
+              else dedup_mod.incremental_exact_dedup)
+        survivors = fn(None, args.index_dir, ds=ds, **kwargs)
+        out = {
+            "mode": "near" if args.near else "exact",
+            "index_dir": args.index_dir,
+            "input": int(n_input),
+            "survivors": int(survivors.count()),
+        }
+        if args.out:
+            if out["survivors"] == 0:
+                # the sink refuses zero-row unknown-schema writes by
+                # design; an empty increment is a normal outcome here
+                out["write"] = {"written": [], "skipped": [], "n_rows": 0,
+                                "note": "no survivors — nothing written"}
+            else:
+                from .stages.parquet_sink import write_partitioned_parquet
+
+                out["write"] = write_partitioned_parquet(
+                    survivors, args.out, "doc_id", num_partitions=4
+                )
+        print(json.dumps(out))
         ray.shutdown()
         return 0
 

@@ -181,6 +181,36 @@ def test_cli_curate_and_resume(tmp_path):
     assert sorted(second["shards"]["skipped"]) == [0, 1, 2, 3]
 
 
+def test_cli_dedup_incremental_index(tmp_path):
+    index = str(tmp_path / "dix")
+    args = [
+        "dedup",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--index", index,
+        "--num-cpus", "4",
+    ]
+    first = _run(args)
+    assert first == {"mode": "exact", "index_dir": index,
+                     "input": 500, "survivors": 500}
+    # the same increment again: every digest is now indexed
+    out_dir = str(tmp_path / "surv")
+    second = _run(args + ["--out", out_dir])
+    assert second["survivors"] == 0 and second["input"] == 500
+    assert second["write"]["n_rows"] == 0
+
+
+def test_cli_dedup_rejects_cross_mode_flags(tmp_path):
+    base = [sys.executable, "-m", "mhdb_tables2turtles_ray", "dedup",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--index", str(tmp_path / "x"), "--num-cpus", "4"]
+    out = subprocess.run(base + ["--threshold", "0.6"],
+                         capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert out.returncode != 0 and "--near" in out.stderr
+    out = subprocess.run(base + ["--near", "--fpp", "0.01"],
+                         capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert out.returncode != 0 and "--near mode" in out.stderr
+
+
 def test_cli_curate_rejects_bad_weights(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "mhdb_tables2turtles_ray", "curate",
