@@ -51,6 +51,10 @@ def main(argv=None) -> int:
                    help="range-partition on --key (numeric) instead of "
                         "hashing: output files are globally ordered")
     x.add_argument("--partitions", type=int, default=16)
+    x.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   dest="file_format",
+                   help="partition file format (jsonl = one JSON object "
+                        "per row, the training-interchange format)")
     x.add_argument("--no-resume", action="store_true")
     x.add_argument("--num-cpus", type=int, default=None)
 
@@ -296,11 +300,13 @@ def main(argv=None) -> int:
             summary = write_range_partitioned_parquet(
                 result, args.out, args.key,
                 num_partitions=args.partitions, resume=not args.no_resume,
+                file_format=args.file_format,
             )
         else:
             summary = write_partitioned_parquet(
                 result, args.out, args.key,
                 num_partitions=args.partitions, resume=not args.no_resume,
+                file_format=args.file_format,
             )
         print(json.dumps({"query": args.query, "out_dir": args.out, **summary}))
         ray.shutdown()

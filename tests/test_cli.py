@@ -69,6 +69,28 @@ def test_cli_export_and_resume(tmp_path):
     assert second["written"] == [] and sorted(second["skipped"]) == [0, 1, 2, 3]
 
 
+def test_cli_export_jsonl(tmp_path):
+    out_dir = str(tmp_path / "expj")
+    summary = _run([
+        "export",
+        "--query", "text_token_counts",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out_dir,
+        "--key", "doc_id",
+        "--format", "jsonl",
+        "--partitions", "4",
+        "--num-cpus", "4",
+    ])
+    assert summary["n_rows"] == 500 and sorted(summary["written"]) == [0, 1, 2, 3]
+    rows = []
+    for p in range(4):
+        with open(os.path.join(out_dir, f"part-{p:05d}.jsonl")) as f:
+            rows += [json.loads(line) for line in f]
+    assert len(rows) == 500
+    assert {r["doc_id"] for r in rows} == set(range(500))
+    assert all({"doc_id", "n_tokens"} <= set(r) for r in rows)
+
+
 def test_cli_export_unknown_query(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "mhdb_tables2turtles_ray", "export",
