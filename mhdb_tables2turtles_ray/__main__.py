@@ -148,8 +148,15 @@ def main(argv=None) -> int:
     d.add_argument("--bloom-capacity", type=int, default=None,
                    help="near mode: Bloom sidecar capacity (pinned)")
     d.add_argument("--out", default=None,
-                   help="also write the surviving rows as resumable "
-                        "partitioned parquet here")
+                   help="also write the surviving ids as partitioned "
+                        "parquet here ((doc_id, text_md5) exact / "
+                        "(doc_id) near — join text back from the "
+                        "increment). Must be a new/empty directory: the "
+                        "index ingests the increment in the same run, so "
+                        "a partial prior write can never be resumed")
+    d.add_argument("--out-partitions", type=int, default=16,
+                   help="partition count for --out (the index's own "
+                        "partition count is --partitions)")
     d.add_argument("--num-cpus", type=int, default=None)
 
     p = sub.add_parser(
@@ -246,6 +253,19 @@ def main(argv=None) -> int:
                          "--near mode")
         if not args.near and near_only:
             parser.error(f"{', '.join(near_only)} require(s) --near")
+        if args.out is not None:
+            import os as _os
+
+            if _os.path.isdir(args.out) and _os.listdir(args.out):
+                # loud, BEFORE the index ingests the increment: after
+                # that, survivors recompute as 0 and a partial prior
+                # write could never be completed — refusing up front is
+                # the only honest behavior
+                parser.error(
+                    f"--out {args.out} exists and is not empty; the "
+                    "survivor write is not resumable (pick a fresh "
+                    "directory per increment)"
+                )
 
     if args.cmd == "curate":
         # pure argument validation — before Ray ever starts
@@ -412,6 +432,10 @@ def main(argv=None) -> int:
         fn = (dedup_mod.incremental_minhash_dedup if args.near
               else dedup_mod.incremental_exact_dedup)
         survivors = fn(None, args.index_dir, ds=ds, **kwargs)
+        if args.out:
+            # near mode returns a lazy dataset — pin it so count() and
+            # the write below don't each re-run its shuffle
+            survivors = survivors.materialize()
         out = {
             "mode": "near" if args.near else "exact",
             "index_dir": args.index_dir,
@@ -428,7 +452,8 @@ def main(argv=None) -> int:
                 from .stages.parquet_sink import write_partitioned_parquet
 
                 out["write"] = write_partitioned_parquet(
-                    survivors, args.out, "doc_id", num_partitions=4
+                    survivors, args.out, "doc_id",
+                    num_partitions=args.out_partitions,
                 )
         print(json.dumps(out))
         ray.shutdown()

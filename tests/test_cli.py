@@ -204,6 +204,8 @@ def test_cli_curate_and_resume(tmp_path):
 
 
 def test_cli_dedup_incremental_index(tmp_path):
+    import pyarrow.parquet as pq
+
     index = str(tmp_path / "dix")
     args = [
         "dedup",
@@ -211,14 +213,29 @@ def test_cli_dedup_incremental_index(tmp_path):
         "--index", index,
         "--num-cpus", "4",
     ]
-    first = _run(args)
-    assert first == {"mode": "exact", "index_dir": index,
-                     "input": 500, "survivors": 500}
-    # the same increment again: every digest is now indexed
-    out_dir = str(tmp_path / "surv")
-    second = _run(args + ["--out", out_dir])
+    out1 = str(tmp_path / "surv1")
+    first = _run(args + ["--out", out1, "--out-partitions", "4"])
+    assert first["mode"] == "exact" and first["input"] == 500
+    assert first["survivors"] == 500 and first["write"]["n_rows"] == 500
+    written = pq.read_table(os.path.join(out1, "part-00000.parquet"))
+    assert set(written.schema.names) == {"doc_id", "text_md5"}
+
+    # the same increment again: every digest is now indexed; a FRESH
+    # --out dir gets the explicit empty-write summary
+    out2 = str(tmp_path / "surv2")
+    second = _run(args + ["--out", out2])
     assert second["survivors"] == 0 and second["input"] == 500
     assert second["write"]["n_rows"] == 0
+
+    # reusing a non-empty --out must refuse up front (the survivor
+    # write is not resumable once the index ingested the increment)
+    refused = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", *args,
+         "--out", out1],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert refused.returncode != 0
+    assert "not empty" in refused.stderr
 
 
 def test_cli_dedup_rejects_cross_mode_flags(tmp_path):
