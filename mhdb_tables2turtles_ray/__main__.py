@@ -105,6 +105,21 @@ def main(argv=None) -> int:
                    help="drop docs above this bigram-LM perplexity")
     c.add_argument("--strip-spans-window", type=int, default=None,
                    help="also strip duplicated token windows of this size")
+    c.add_argument("--embeddings", nargs="+", default=None,
+                   help="parquet paths/globs of (doc_id, embedding) rows: "
+                        "adds the semantic near-dup stage")
+    c.add_argument("--semantic-threshold", type=float, default=None,
+                   help="cosine threshold for the semantic stage "
+                        "(with --embeddings; default 0.98)")
+    c.add_argument("--decontam-test", nargs="+", default=None,
+                   help="parquet paths/globs of held-out benchmark docs "
+                        "(doc_id, text): adds train/test decontamination")
+    c.add_argument("--decontam-ngram", type=int, default=None,
+                   help="shared-n-gram size for decontamination "
+                        "(with --decontam-test; default 8)")
+    c.add_argument("--decontam-max-hits", type=int, default=None,
+                   help="max tolerated shared n-grams before a doc is "
+                        "dropped (with --decontam-test; default 0)")
     cbpe = c.add_mutually_exclusive_group()
     cbpe.add_argument("--bpe-merges", type=int, default=None,
                       help="train a BPE tokenizer on the curated stream and "
@@ -280,6 +295,17 @@ def main(argv=None) -> int:
                 )
         if args.source_cap is not None and args.source_cap < 1:
             parser.error("--source-cap must be >= 1")
+        # stage-tuning flags must error without their stage's dataset
+        # flag, not silently no-op
+        if args.embeddings is None and args.semantic_threshold is not None:
+            parser.error("--semantic-threshold requires --embeddings")
+        if args.decontam_test is None:
+            bad = [n for n, v in (("--decontam-ngram", args.decontam_ngram),
+                                  ("--decontam-max-hits",
+                                   args.decontam_max_hits))
+                   if v is not None]
+            if bad:
+                parser.error(f"{', '.join(bad)} require(s) --decontam-test")
         from .pipelines.text import LANG_MARKERS
 
         args.langs = tuple(
@@ -472,6 +498,20 @@ def main(argv=None) -> int:
             if args.source_cap is not None:
                 cols.append("source")
             kwargs["ds"] = ray.data.read_parquet(args.input, columns=cols)
+        if args.embeddings is not None:
+            kwargs["embeddings_ds"] = ray.data.read_parquet(
+                args.embeddings, columns=["doc_id", "embedding"]
+            )
+            if args.semantic_threshold is not None:
+                kwargs["semantic_threshold"] = args.semantic_threshold
+        if args.decontam_test is not None:
+            kwargs["decontam_test_ds"] = ray.data.read_parquet(
+                args.decontam_test, columns=["doc_id", "text"]
+            )
+            if args.decontam_ngram is not None:
+                kwargs["decontam_ngram"] = args.decontam_ngram
+            if args.decontam_max_hits is not None:
+                kwargs["decontam_max_hits"] = args.decontam_max_hits
         summary = prepare_training_data(
             args.sf_dir,
             args.out,

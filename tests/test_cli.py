@@ -250,6 +250,60 @@ def test_cli_dedup_rejects_cross_mode_flags(tmp_path):
     assert out.returncode != 0 and "--near mode" in out.stderr
 
 
+def test_cli_curate_semantic_and_decontam(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # identical embedding vectors for every doc: whatever survives the
+    # lexical stages, the semantic stage must collapse it to ONE doc
+    emb_path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array([[1.0, 0.0, 0.0, 0.0]] * 500,
+                                  pa.list_(pa.float32())),
+        }),
+        emb_path,
+    )
+    test_path = str(tmp_path / "bench.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([900], pa.int64()),
+                  "text": pa.array(["held out benchmark prompt"],
+                                   pa.string())}),
+        test_path,
+    )
+    out = _run([
+        "curate",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", str(tmp_path / "cur"),
+        "--shards", "2",
+        "--embeddings", emb_path,
+        "--semantic-threshold", "0.95",
+        "--decontam-test", test_path,
+        "--num-cpus", "4",
+    ])
+    # every survivor shares one vector, so they form ONE semantic
+    # cluster — but the LSH skew guard truncates each bucket to its
+    # max_bucket=200 smallest ids, so exactly those 200 pair up and
+    # 199 non-representatives drop (deterministic: sorted-head
+    # truncation), documenting the guard's behavior at the CLI level
+    assert out["after_semantic_dedup"] == out["after_near_dedup"] - 199
+    assert out["after_decontam"] <= out["after_semantic_dedup"]
+    assert out["shards"]["n_rows"] == out["after_resample"]
+
+
+def test_cli_curate_stage_flags_require_datasets(tmp_path):
+    base = [sys.executable, "-m", "mhdb_tables2turtles_ray", "curate",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "x"), "--num-cpus", "4"]
+    out = subprocess.run(base + ["--decontam-ngram", "6"],
+                         capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert out.returncode != 0 and "--decontam-test" in out.stderr
+    out = subprocess.run(base + ["--semantic-threshold", "0.9"],
+                         capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert out.returncode != 0 and "--embeddings" in out.stderr
+
+
 def test_cli_curate_rejects_bad_weights(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "mhdb_tables2turtles_ray", "curate",
