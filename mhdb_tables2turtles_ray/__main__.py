@@ -268,18 +268,28 @@ def main(argv=None) -> int:
                          "--near mode")
         if not args.near and near_only:
             parser.error(f"{', '.join(near_only)} require(s) --near")
+        if args.out_partitions < 1:
+            parser.error("--out-partitions must be >= 1")
         if args.out is not None:
             import os as _os
 
-            if _os.path.isdir(args.out) and _os.listdir(args.out):
+            if not args.out:
+                # "" would make the truthy write checks below silently
+                # skip the write AFTER the index ingested the increment
+                parser.error("--out must be a non-empty path")
+            if _os.path.exists(args.out) and (
+                not _os.path.isdir(args.out) or _os.listdir(args.out)
+            ):
                 # loud, BEFORE the index ingests the increment: after
                 # that, survivors recompute as 0 and a partial prior
                 # write could never be completed — refusing up front is
-                # the only honest behavior
+                # the only honest behavior (a plain FILE at the path
+                # would otherwise only crash the sink's makedirs, too
+                # late)
                 parser.error(
-                    f"--out {args.out} exists and is not empty; the "
-                    "survivor write is not resumable (pick a fresh "
-                    "directory per increment)"
+                    f"--out {args.out} exists and is not an empty "
+                    "directory; the survivor write is not resumable "
+                    "(pick a fresh directory per increment)"
                 )
 
     if args.cmd == "curate":
@@ -299,6 +309,11 @@ def main(argv=None) -> int:
         # flag, not silently no-op
         if args.embeddings is None and args.semantic_threshold is not None:
             parser.error("--semantic-threshold requires --embeddings")
+        if args.semantic_threshold is not None and not (
+            0.0 < args.semantic_threshold <= 1.0
+        ):
+            # e.g. 95 instead of 0.95 would make the stage a silent no-op
+            parser.error("--semantic-threshold must be in (0, 1] (a cosine)")
         if args.decontam_test is None:
             bad = [n for n, v in (("--decontam-ngram", args.decontam_ngram),
                                   ("--decontam-max-hits",
@@ -306,6 +321,9 @@ def main(argv=None) -> int:
                    if v is not None]
             if bad:
                 parser.error(f"{', '.join(bad)} require(s) --decontam-test")
+        if args.decontam_ngram is not None and args.decontam_ngram < 1:
+            # 0 degenerates the gram builder into 1-gram over-dropping
+            parser.error("--decontam-ngram must be >= 1")
         from .pipelines.text import LANG_MARKERS
 
         args.langs = tuple(

@@ -789,6 +789,10 @@ def decontaminate_pair(
     oracle-checkable representation — hashed Bloom partials streamed
     above it), and the train corpus streams through one vectorized
     membership pass. No shuffle touches either corpus."""
+    if n < 1:
+        # n=0 degenerates _batch_grams into matching any shared token
+        # against the test set's LAST row — silent mass over-dropping
+        raise ValueError(f"n-gram size must be >= 1, got {n}")
     import ray
 
     from ..stages.semijoin import build_string_key_filter, string_filter_contains

@@ -228,14 +228,24 @@ def test_cli_dedup_incremental_index(tmp_path):
     assert second["write"]["n_rows"] == 0
 
     # reusing a non-empty --out must refuse up front (the survivor
-    # write is not resumable once the index ingested the increment)
-    refused = subprocess.run(
-        [sys.executable, "-m", "mhdb_tables2turtles_ray", *args,
-         "--out", out1],
-        capture_output=True, text=True, cwd=REPO, timeout=120,
-    )
-    assert refused.returncode != 0
-    assert "not empty" in refused.stderr
+    # write is not resumable once the index ingested the increment) —
+    # as must a plain FILE at the path, an empty-string path, and a
+    # degenerate partition count, all BEFORE the index ingests anything
+    file_path = str(tmp_path / "plain_file")
+    open(file_path, "w").close()
+    for extra, msg in (
+        (["--out", out1], "not an empty"),
+        (["--out", file_path], "not an empty"),
+        (["--out", ""], "non-empty path"),
+        (["--out", str(tmp_path / "fresh"), "--out-partitions", "0"],
+         "--out-partitions"),
+    ):
+        refused = subprocess.run(
+            [sys.executable, "-m", "mhdb_tables2turtles_ray", *args, *extra],
+            capture_output=True, text=True, cwd=REPO, timeout=120,
+        )
+        assert refused.returncode != 0, extra
+        assert msg in refused.stderr, extra
 
 
 def test_cli_dedup_rejects_cross_mode_flags(tmp_path):
@@ -302,6 +312,15 @@ def test_cli_curate_stage_flags_require_datasets(tmp_path):
     out = subprocess.run(base + ["--semantic-threshold", "0.9"],
                          capture_output=True, text=True, cwd=REPO, timeout=120)
     assert out.returncode != 0 and "--embeddings" in out.stderr
+    # out-of-range tuning values fail loudly before Ray starts
+    out = subprocess.run(
+        base + ["--embeddings", "x.parquet", "--semantic-threshold", "95"],
+        capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert out.returncode != 0 and "(0, 1]" in out.stderr
+    out = subprocess.run(
+        base + ["--decontam-test", "x.parquet", "--decontam-ngram", "0"],
+        capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert out.returncode != 0 and ">= 1" in out.stderr
 
 
 def test_cli_curate_rejects_bad_weights(tmp_path):

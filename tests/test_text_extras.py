@@ -91,6 +91,22 @@ def test_batch_grams_vectorized_semantics():
     assert len(idx2) == 0 and len(grams2) == 0
 
 
+def test_decontaminate_rejects_degenerate_ngram(ray_session):
+    """n=0 would degenerate the gram builder into matching any shared
+    token against the test set's last row — must raise, not over-drop."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.text import decontaminate_pair
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1], "text": ["a b c"]})
+    )
+    with pytest.raises(ValueError, match=">= 1"):
+        decontaminate_pair(ds, ds, n=0)
+
+
 def test_decontaminate_bloom_path_matches_exact(ray_session):
     """Forcing the hashed-Bloom filter representation (exact_threshold=0)
     must keep every exact hit (Bloom has no false negatives) and add at
