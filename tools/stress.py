@@ -176,9 +176,52 @@ def run_quantiles(sf_dir: str, replicas: int) -> dict:
     }
 
 
+def run_cap(sf_dir: str, replicas: int) -> dict:
+    """Per-source cap over the replicated corpus. Source =
+    doc_id % 20000; the replica offset (1e6) is a multiple of 20000, so
+    every base doc's replicas share its source: exactly
+    n_base distinct sources × `replicas` members each. With cap=50 the
+    survivor count is therefore EXACT (n_base × min(replicas, 50)) —
+    a deterministic at-scale correctness check, not just a timing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from mhdb_tables2turtles_ray.pipelines.shards import cap_per_stratum
+
+    ds, n_docs = replicated_documents(sf_dir, replicas)
+    n_base = n_docs // replicas
+    cap = 50
+
+    def add_source(t: pa.Table) -> pa.Table:
+        mod = t.column("doc_id").to_numpy() % 20_000
+        sid = pc.cast(pa.array(mod, pa.int64()), pa.string())
+        return pa.table({"doc_id": t.column("doc_id"), "source": sid})
+
+    keyed = ds.map_batches(
+        add_source, batch_format="pyarrow", zero_copy_batch=True
+    )
+    t0 = time.time()
+    surv = cap_per_stratum(keyed, "source", cap, seed=42).materialize()
+    n_surv = surv.count()
+    dt = time.time() - t0
+    df = surv.to_pandas()  # bounded: n_base × cap rows
+    per_source = df.groupby("source")["doc_id"].count()
+    expect = n_base * min(replicas, cap)
+    return {
+        "sec": round(dt, 1),
+        "rows_per_sec": round(n_docs / dt),
+        "survivors": int(n_surv),
+        "expected": int(expect),
+        "exact": bool(n_surv == expect),
+        "n_sources": int(per_source.size),
+        "max_per_source": int(per_source.max()),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["bpe", "curate", "decontam", "quantiles"])
+    ap.add_argument("which",
+                    choices=["bpe", "curate", "decontam", "quantiles", "cap"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=400)
     ap.add_argument("--num-cpus", type=int, default=32)
@@ -202,6 +245,7 @@ def main() -> int:
         "curate": run_curate,
         "decontam": run_decontam,
         "quantiles": run_quantiles,
+        "cap": run_cap,
     }[args.which]
     out = fn(args.sf_dir, args.replicas)
     out["which"] = args.which
