@@ -14,6 +14,9 @@ produced them.
   python tools/stress.py decontam   # decontaminate_pair (100-doc test set)
   python tools/stress.py quantiles  # exact_float_quantiles over a derived
                                     # float column (replicated events)
+  python tools/stress.py cap        # cap_per_stratum per-source quota
+                                    # (closed-form survivor invariant;
+                                    # exits nonzero if violated)
   --replicas 400 --sf-dir /root/testdata/sf0.1 --num-cpus 32
 """
 
@@ -188,9 +191,24 @@ def run_cap(sf_dir: str, replicas: int) -> dict:
 
     from mhdb_tables2turtles_ray.pipelines.shards import cap_per_stratum
 
+    import numpy as np
+    import pyarrow.parquet as pq
+
     ds, n_docs = replicated_documents(sf_dir, replicas)
     n_base = n_docs // replicas
     cap = 50
+
+    # precondition of the closed form: base ids distinct mod 20000 — a
+    # colliding --sf-dir would otherwise report a spurious pipeline
+    # failure (harness-assumption failure must be distinguishable)
+    base_ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    if len(np.unique(base_ids % 20_000)) != n_base:
+        raise SystemExit(
+            f"{sf_dir}: base doc_ids collide mod 20000 — the cap "
+            "stress's closed-form invariant does not apply to this corpus"
+        )
 
     def add_source(t: pa.Table) -> pa.Table:
         mod = t.column("doc_id").to_numpy() % 20_000
@@ -207,14 +225,22 @@ def run_cap(sf_dir: str, replicas: int) -> dict:
     df = surv.to_pandas()  # bounded: n_base × cap rows
     per_source = df.groupby("source")["doc_id"].count()
     expect = n_base * min(replicas, cap)
+    max_per = int(per_source.max()) if len(per_source) else 0
+    # exact = the FULL invariant, not just the total (compensating
+    # per-source violations must not pass)
+    exact = (
+        n_surv == expect
+        and int(per_source.size) == n_base
+        and max_per == min(replicas, cap)
+    )
     return {
         "sec": round(dt, 1),
         "rows_per_sec": round(n_docs / dt),
         "survivors": int(n_surv),
         "expected": int(expect),
-        "exact": bool(n_surv == expect),
+        "exact": bool(exact),
         "n_sources": int(per_source.size),
-        "max_per_source": int(per_source.max()),
+        "max_per_source": max_per,
     }
 
 
@@ -255,7 +281,9 @@ def main() -> int:
     )
     print(json.dumps(out))
     ray.shutdown()
-    return 0
+    # entries with a closed-form invariant (cap) report exact; a
+    # violation must fail the process, not just flip a JSON field
+    return 0 if out.get("exact", True) else 1
 
 
 if __name__ == "__main__":
