@@ -351,6 +351,30 @@ def test_cli_profile(tmp_path):
     assert by_col["event_id"]["min"] == "0" and by_col["event_id"]["max"] == "999"
 
 
+def test_cli_profile_input_globs(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 2, None], pa.int64()),
+                  "s": pa.array(["a", "b", None, "c"], pa.string())}),
+        src,
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "mhdb_tables2turtles_ray", "profile",
+         "--input", src, "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = {r["column"]: r for r in
+            json.loads(out.stdout.strip().splitlines()[-1])}
+    assert rows["k"]["n"] == 4 and rows["k"]["n_null"] == 1
+    assert rows["k"]["min"] == "1" and rows["k"]["max"] == "2"
+    assert rows["s"]["n_null"] == 1
+    assert rows["s"]["min"] == "a" and rows["s"]["max"] == "c"
+
+
 def test_cli_profile_requires_table_with_sf_dir(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "mhdb_tables2turtles_ray", "profile",
