@@ -305,6 +305,12 @@ def main(argv=None) -> int:
                 )
         if args.source_cap is not None and args.source_cap < 1:
             parser.error("--source-cap must be >= 1")
+        if args.length_pct_max is not None and not (
+            0.0 < args.length_pct_max <= 1.0
+        ):
+            # e.g. 99 instead of 0.99 — fail at parse time, not after
+            # the quality scan
+            parser.error("--length-pct-max must be in (0, 1] (a percentile)")
         # stage-tuning flags must error without their stage's dataset
         # flag, not silently no-op
         if args.embeddings is None and args.semantic_threshold is not None:

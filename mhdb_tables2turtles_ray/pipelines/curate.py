@@ -123,6 +123,14 @@ def curate_corpus(
             f"only ever produces {sorted(supported)}"
         )
 
+    if length_pct_max is not None and not 0.0 < length_pct_max <= 1.0:
+        # validate BEFORE the quality/language pass materializes — a
+        # 99-instead-of-0.99 typo must fail in milliseconds, not after
+        # an hours-long scan (same rule as source_cap below)
+        raise ValueError(
+            f"length_pct_max must be in (0, 1], got {length_pct_max}"
+        )
+
     if source_cap is not None and source_cap < 1:
         # pure argument validation — before the (potentially hours-long)
         # quality-filter pass runs, and independent of how many rows
@@ -192,10 +200,6 @@ def curate_corpus(
 
     n_length_cut = None
     if length_pct_max is not None:
-        if not 0.0 < length_pct_max <= 1.0:
-            raise ValueError(
-                f"length_pct_max must be in (0, 1], got {length_pct_max}"
-            )
         from ..stages.quantiles import exact_float_quantiles
 
         def tok_lens(batch: pa.Table) -> pa.Table:

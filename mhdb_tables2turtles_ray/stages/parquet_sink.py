@@ -39,22 +39,32 @@ def _write_jsonl(df: pd.DataFrame, path: str) -> None:
     order."""
     import json
 
-    def default(o):
-        if isinstance(o, np.integer):
-            return int(o)
-        if isinstance(o, np.floating):
-            f = float(o)
+    def _san(v):
+        # recursive: a NaN INSIDE a list/ndarray (embedding columns)
+        # must also become null, or the shard is invalid JSON that
+        # pyarrow read_json rejects
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, (float, np.floating)):
+            f = float(v)
             return None if f != f else f
-        if isinstance(o, np.ndarray):
-            return o.tolist()
-        raise TypeError(f"not JSON-serializable: {type(o).__name__}")
+        if isinstance(v, np.ndarray):
+            return [_san(x) for x in v.tolist()]
+        if isinstance(v, (list, tuple)):
+            return [_san(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _san(x) for k, x in v.items()}
+        return v
+
+    def default(o):
+        s = _san(o)
+        if s is o:
+            raise TypeError(f"not JSON-serializable: {type(o).__name__}")
+        return s
 
     with open(path, "w", encoding="utf-8") as f:
         for rec in df.to_dict(orient="records"):
-            clean = {
-                k: (None if isinstance(v, float) and v != v else v)
-                for k, v in rec.items()
-            }
+            clean = {k: _san(v) for k, v in rec.items()}
             f.write(json.dumps(clean, ensure_ascii=False, default=default))
             f.write("\n")
 
