@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     src = b.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", nargs="+", help="corpus parquet paths/globs")
     src.add_argument("--sf-dir", help="testdata dir (documents-derived corpus)")
+    src.add_argument("--workbook",
+                     help=".xlsx workbook (chills-module build: stdlib OOXML "
+                          "reader → per-sheet EmissionSpecs → Turtle shards)")
     b.add_argument("--out", required=True, help="output directory (shared storage)")
     b.add_argument("--partitions", type=int, default=64)
     b.add_argument("--no-resume", action="store_true")
@@ -572,6 +575,21 @@ def main(argv=None) -> int:
             ds = ray.data.read_parquet(args.input, columns=cols)
         prof = profile_table(ds, columns=cols)
         print(json.dumps(prof.to_pylist()))
+        ray.shutdown()
+        return 0
+
+    if getattr(args, "workbook", None):
+        from .pipelines.chills import build_chills_from_workbook
+
+        summary = build_chills_from_workbook(
+            args.workbook, args.out,
+            num_partitions=args.partitions, resume=not args.no_resume,
+        )
+        if args.validate:
+            from .stages.validate import validate_turtle_dir
+
+            summary["validation"] = validate_turtle_dir(args.out)
+        print(json.dumps(summary))
         ray.shutdown()
         return 0
 

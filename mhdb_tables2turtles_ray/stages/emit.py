@@ -90,6 +90,11 @@ class Literal:
         mhdb/ingest.py:3094-3103)
     split: explode the cell on this delimiter first (alias /
       equivalentClasses columns, reference mhdb/ingest.py:1373-1391).
+    strip: strip each part BEFORE truncation/rendering — needed where
+      the reference strips before slicing (the claims emitter strips
+      then truncates to 50 chars, mhdb/ingest.py:3751-3752, while the
+      FK path slices the raw cell, :3336 — the dual-truncation quirk
+      visible in the golden chills.ttl).
     template: a format string over the whole ROW used instead of
       ``column`` — enables reverse-edge emission where the object is a
       composite mint of other columns (the reference's
@@ -105,6 +110,7 @@ class Literal:
     truncate: int | None = None
     split: str | None = None
     template: str | None = None
+    strip: bool = False
 
     def render_template(self, row: dict) -> list[str]:
         import string as _string
@@ -125,8 +131,19 @@ class Literal:
         for part in parts:
             if is_excluded(part):
                 continue
+            if self.strip and isinstance(part, str):
+                part = part.strip()
             if self.truncate is not None and isinstance(part, str):
                 part = part[: self.truncate]
+            if self.kind in ("xsd:gyear", "xsd:int", "xsd:nonNegativeInteger"):
+                # reference int()s these before formatting (e.g.
+                # int(publication_year), mhdb/ingest.py:3446) — a float
+                # cell (pandas/xlsx numeric column) must not render
+                # '2018.0'
+                try:
+                    part = int(float(part))
+                except (TypeError, ValueError):
+                    pass
             if self.kind == "lang":
                 out.append(language_string(part, self.lang))
             elif self.kind == "iri":
@@ -357,7 +374,7 @@ class TripleEmitter:
             ).to_pylist()
 
         for idx, lit in enumerate(spec.literals):
-            if lit.split is not None or lit.truncate is not None:
+            if lit.split is not None or lit.truncate is not None or lit.strip:
                 continue
             t = schema.get(lit.column)
             if t is None or not pa.types.is_string(t):
