@@ -173,7 +173,19 @@ class ForeignKey:
     as a typed literal when ``as_literal`` is set). ``default`` is
     emitted verbatim when the FK cell is empty/excluded — the
     reference's else-branch fallback (e.g. ``rdfs:subClassOf :Language``
-    when a language has no parent, mhdb/ingest.py:1719-1720)."""
+    when a language has no parent, mhdb/ingest.py:1719-1720).
+
+    The ``foreign()`` config surface (reference
+    ``mhdb/unused_functions.py:417-535``) adds three independent knobs:
+    ``split_key_by`` — a CUSTOM key delimiter; when set, the cell is
+    parsed ``[int(float(x)) for x in str(cell).split(split_key_by)]``
+    (the reference's exact rule — no empty-piece filtering, so garbage
+    quarantines); when None the live-path comma rule (:func:`fk_keys`)
+    applies. ``split_value_by`` — the looked-up VALUE is split on this
+    delimiter and each piece minted separately. ``backup_lookup`` — a
+    second lookup consulted when the primary value is missing or the
+    string ``"None"`` (the Foreign Value Column_Backup_Header
+    fallback)."""
 
     column: str
     predicate: str
@@ -181,6 +193,9 @@ class ForeignKey:
     casing: str = "PascalCase"
     as_literal: str | None = None
     default: str | None = None
+    split_key_by: str | None = None
+    split_value_by: str | None = None
+    backup_lookup: str | None = None
 
 
 @dataclass(frozen=True)
@@ -465,7 +480,17 @@ class TripleEmitter:
     def _emit_fk(self, spec, subject, fk: ForeignKey, cell, emit) -> None:
         table = self.lookups.get(fk.lookup, {})
         try:
-            keys = fk_keys(cell)
+            if fk.split_key_by is not None:
+                keys = (
+                    None
+                    if is_excluded(cell)
+                    else [
+                        int(float(x))
+                        for x in str(cell).split(fk.split_key_by)
+                    ]
+                )
+            else:
+                keys = fk_keys(cell)
         except ValueError:
             if self.quarantine:
                 emit(
@@ -480,6 +505,11 @@ class TripleEmitter:
             return
         for key in keys:
             value = table.get(key)
+            if fk.backup_lookup is not None and (
+                value is None or value == "None"
+            ):
+                # the foreign() backup-value-column fallback
+                value = self.lookups.get(fk.backup_lookup, {}).get(key, value)
             if value is None:
                 # Reference crashes here (IndexError via .values[0]); we
                 # quarantine + count instead (SURVEY.md §7.4).
@@ -492,10 +522,18 @@ class TripleEmitter:
                 continue
             if not isinstance(value, str):
                 continue  # reference: isinstance(objectRDF, str) gate
-            if fk.as_literal is not None:
-                emit(subject, fk.predicate, typed_literal(value, fk.as_literal))
-            else:
-                emit(subject, fk.predicate, check_iri(value, fk.casing))
+            parts = (
+                [x for x in value.split(fk.split_value_by)]
+                if fk.split_value_by is not None and value
+                else [value]
+            )
+            for part in parts:
+                if fk.as_literal is not None:
+                    emit(
+                        subject, fk.predicate, typed_literal(part, fk.as_literal)
+                    )
+                else:
+                    emit(subject, fk.predicate, check_iri(part, fk.casing))
 
 
 def emit_triples(ds, specs, lookups=None, concurrency=None, batch_size=4096, **kwargs):

@@ -20,9 +20,11 @@ type    optional — value (the ``rdf:type`` object)
 label   optional — template (language-string label)
 static  repeated — predicate, value
 literal repeated — column, predicate, kind, lang, casing,
-        truncate, split, template
+        truncate, split, template, strip
 fk      repeated — column, predicate, lookup, casing,
-        as_literal, default
+        as_literal, default, split_key_by, split_value_by,
+        backup_lookup (the foreign() dual-delimiter surface,
+        reference ``mhdb/unused_functions.py:417-535``)
 ====== =====================================================
 
 Unset cells mean "dataclass default" for defaulted fields (kind, lang,
@@ -52,6 +54,10 @@ _COLUMNS = (
     "as_literal",
     "default",
     "value",
+    "strip",
+    "split_key_by",
+    "split_value_by",
+    "backup_lookup",
 )
 
 
@@ -93,6 +99,7 @@ def specs_to_rows(specs) -> list[dict]:
                     truncate=lit.truncate,
                     split=lit.split,
                     template=lit.template,
+                    strip=lit.strip or None,
                 )
             )
         for fk in s.fks:
@@ -106,6 +113,9 @@ def specs_to_rows(specs) -> list[dict]:
                     casing=fk.casing,
                     as_literal=fk.as_literal,
                     default=fk.default,
+                    split_key_by=fk.split_key_by,
+                    split_value_by=fk.split_value_by,
+                    backup_lookup=fk.backup_lookup,
                 )
             )
     return rows
@@ -157,6 +167,7 @@ def specs_from_rows(rows) -> tuple[EmissionSpec, ...]:
                     truncate=_get(r, "truncate"),
                     split=_get(r, "split"),
                     template=_get(r, "template"),
+                    strip=bool(_get(r, "strip", False)),
                 )
             )
         elif role == "fk":
@@ -168,6 +179,9 @@ def specs_from_rows(rows) -> tuple[EmissionSpec, ...]:
                     casing=_get(r, "casing", "PascalCase"),
                     as_literal=_get(r, "as_literal"),
                     default=_get(r, "default"),
+                    split_key_by=_get(r, "split_key_by"),
+                    split_value_by=_get(r, "split_value_by"),
+                    backup_lookup=_get(r, "backup_lookup"),
                 )
             )
         else:

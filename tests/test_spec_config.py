@@ -142,6 +142,7 @@ def _specs(draw):
                 truncate=draw(st.one_of(st.none(), st.integers(1, 50))),
                 split=draw(st.one_of(st.none(), st.just(","))),
                 template=draw(st.one_of(st.none(), st.just("{a} {b}"))),
+                strip=draw(st.booleans()),
             )
             for i in range(n_lits)
         ),
@@ -153,6 +154,9 @@ def _specs(draw):
                 casing=draw(_CASING),
                 as_literal=draw(st.one_of(st.none(), st.just("xsd:string"))),
                 default=draw(st.one_of(st.none(), st.just(":Default"))),
+                split_key_by=draw(st.one_of(st.none(), st.just("|"))),
+                split_value_by=draw(st.one_of(st.none(), st.just(";"))),
+                backup_lookup=draw(st.one_of(st.none(), st.just("bkp"))),
             )
             for i in range(n_fks)
         ),
@@ -167,3 +171,89 @@ def test_arbitrary_specs_round_trip(specs):
     specs = tuple(specs)
     assert specs_from_rows(specs_to_rows(specs)) == specs
     assert specs_from_table(specs_to_table(specs)) == specs
+
+
+# --- J6 foreign() dual-delimiter surface (mhdb/unused_functions.py:417-535) --
+
+
+def test_dual_delimiter_fk_through_config_table():
+    """A spec with DISTINCT key and value delimiters (split_key_by='|',
+    split_value_by=';') + a backup lookup, loaded from a config TABLE,
+    reproduces the reference foreign() rule:
+    keys = [int(float(x)) for x in str(cell).split(skb)], value split
+    on svb, each piece minted; value None/'None' falls back to the
+    backup column."""
+    from mhdb_tables2turtles_ray.functions.strings import check_iri
+    from mhdb_tables2turtles_ray.stages.emit import (
+        EmissionSpec,
+        ForeignKey,
+    )
+
+    spec = EmissionSpec(
+        name="foreign_demo",
+        subject_template="{name}",
+        subject_casing="PascalCase",
+        fks=(
+            ForeignKey(
+                column="refs",
+                predicate=":points",
+                lookup="primary",
+                split_key_by="|",
+                split_value_by=";",
+                backup_lookup="backup",
+            ),
+        ),
+    )
+    # config-table round trip first (the structure_to_keep surface)
+    loaded = specs_from_table(specs_to_table([spec]))
+    assert loaded == (spec,)
+
+    lookups = {
+        # key 2's value is the string 'None' → backup kicks in;
+        # key 3 is absent from primary → backup kicks in
+        "primary": {1: "alpha;beta", 2: "None"},
+        "backup": {2: "gamma", 3: "delta;eps"},
+    }
+    batch = pa.table({"name": ["row1"], "refs": ["1|2.0|3"]})
+    out = TripleEmitter(loaded, lookups, quarantine=False)(batch)
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in out.to_pylist()
+    }
+
+    # straight-line replay of the reference rule
+    expected = set()
+    for fk in [int(float(x)) for x in "1|2.0|3".split("|")]:
+        v = lookups["primary"].get(fk)
+        if v is None or v == "None":
+            v = lookups["backup"].get(fk, v)
+        for piece in v.split(";"):
+            expected.add(
+                (check_iri("row1", "PascalCase"), ":points",
+                 check_iri(piece, "PascalCase"))
+            )
+    assert got == expected
+    assert (":Row1", ":points", ":Gamma") in got
+    assert (":Row1", ":points", ":Eps") in got
+
+
+def test_split_key_by_garbage_quarantines():
+    from mhdb_tables2turtles_ray.stages.emit import (
+        EmissionSpec,
+        ForeignKey,
+    )
+
+    spec = EmissionSpec(
+        name="g",
+        subject_template="{name}",
+        fks=(
+            ForeignKey(
+                column="refs", predicate=":p", lookup="primary",
+                split_key_by="|",
+            ),
+        ),
+    )
+    batch = pa.table({"name": ["x"], "refs": ["1|oops"]})
+    out = TripleEmitter([spec], {"primary": {1: "a"}})(batch)
+    triples = {(r["pred"], r["obj"]) for r in out.to_pylist()}
+    # reference int(float('oops')) raises; we quarantine the whole cell
+    assert (":hasDanglingFK", '"refs=1|oops"^^xsd:string') in triples
