@@ -323,3 +323,58 @@ def materialize_turtle(
         # opt-in (a multi-KB free-text blob most consumers don't want)
         summary["stats"] = stats_ds.stats()
     return summary
+
+
+def materialize_turtle_split(
+    triples,
+    out_root: str,
+    provenance_predicate: str = "dcterms:isReferencedBy",
+    num_partitions: int = 16,
+    resume: bool = True,
+    dedup: bool = False,
+    **header_kwargs,
+) -> dict[str, dict]:
+    """Two-way sourced/unsourced materialize (reference
+    ``structure_to_keep`` writes separate sourced and unsourced outputs,
+    ``mhdb/unused_functions.py:611-749``).
+
+    One coarse subject shuffle classifies every subject's triples by
+    whether the subject carries ``provenance_predicate``
+    (:func:`..stages.provenance.flag_sourced`); the flagged stream is
+    pinned ONCE and each side then materializes to its own directory
+    (``out_root/sourced``, ``out_root/unsourced``) with independent
+    manifests — the two sides resume independently, and a failed
+    sourced write never invalidates finished unsourced shards.
+
+    Returns ``{"sourced": summary, "unsourced": summary}``.
+    """
+    import os
+
+    import pyarrow.compute as pc
+
+    from .provenance import flag_sourced
+
+    flagged = flag_sourced(
+        triples, provenance_predicate=provenance_predicate
+    ).materialize()  # consumed twice (one filter pass per side)
+
+    def side(keep: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch.column("sourced"), keep)
+            return batch.filter(mask).select(["subj", "pred", "obj"])
+
+        return flagged.map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    out = {}
+    for name, keep in (("sourced", True), ("unsourced", False)):
+        out[name] = materialize_turtle(
+            side(keep),
+            os.path.join(out_root, name),
+            num_partitions=num_partitions,
+            resume=resume,
+            dedup=dedup,
+            **header_kwargs,
+        )
+    return out

@@ -206,3 +206,61 @@ def test_consolidated_monitoring_queries(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+def test_materialize_turtle_split_two_way(ray_session, tmp_path):
+    """Sourced/unsourced two-way materialize (structure_to_keep writes
+    separate outputs, reference mhdb/unused_functions.py:611-749): each
+    side gets its own shards + manifests, the union of parsed sides is
+    the full triple set partitioned by the subject's provenance flag,
+    and each side resumes independently."""
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.materialize import (
+        materialize_turtle_split,
+    )
+    from mhdb_tables2turtles_ray.stages.validate import validate_turtle_dir
+
+    rows = [
+        {"subj": ":a", "pred": "rdfs:label", "obj": '"""a"""@en'},
+        {"subj": ":a", "pred": "dcterms:isReferencedBy", "obj": ":ref1"},
+        {"subj": ":a", "pred": ":hasX", "obj": ":x"},
+        {"subj": ":b", "pred": "rdfs:label", "obj": '"""b"""@en'},
+        {"subj": ":c", "pred": "rdfs:label", "obj": '"""c"""@en'},
+        {"subj": ":c", "pred": "dcterms:isReferencedBy", "obj": ":ref2"},
+    ]
+    out_root = str(tmp_path / "split")
+    summaries = materialize_turtle_split(
+        ray.data.from_items(rows), out_root, num_partitions=2
+    )
+    assert summaries["sourced"]["n_triples"] == 5
+    assert summaries["unsourced"]["n_triples"] == 1
+    for name in ("sourced", "unsourced"):
+        report = validate_turtle_dir(f"{out_root}/{name}")
+        assert report["triples"] == summaries[name]["n_triples"]
+
+    from tests.golden_ttl import parse_triples
+
+    def side_triples(name):
+        import os
+
+        text = ""
+        d = f"{out_root}/{name}"
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".ttl") and f != "header.ttl":
+                text += "\n\n" + open(os.path.join(d, f)).read()
+        return parse_triples(text)
+
+    sourced, unsourced = side_triples("sourced"), side_triples("unsourced")
+    assert {s for s, _, _ in sourced} == {":a", ":c"}
+    assert {s for s, _, _ in unsourced} == {":b"}
+    assert len(sourced | unsourced) == len(rows)
+
+    # resume: a second run skips every finished partition on both sides
+    again = materialize_turtle_split(
+        ray.data.from_items(rows), out_root, num_partitions=2
+    )
+    for name in ("sourced", "unsourced"):
+        assert again[name]["written"] == []
+        assert sorted(again[name]["skipped"]) == sorted(
+            summaries[name]["written"] + summaries[name]["skipped"]
+        )
