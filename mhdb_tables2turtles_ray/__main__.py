@@ -106,6 +106,10 @@ def main(argv=None) -> int:
                         "deterministic per-source quota)")
     c.add_argument("--ppl-max", type=float, default=None,
                    help="drop docs above this bigram-LM perplexity")
+    c.add_argument("--checkpoint-dir", default=None,
+                   help="funnel-level resume: persist each curation "
+                        "stage's survivor ids here; a rerun resumes at "
+                        "the last completed stage")
     c.add_argument("--strip-spans-window", type=int, default=None,
                    help="also strip duplicated token windows of this size")
     c.add_argument("--embeddings", nargs="+", default=None,
@@ -520,6 +524,8 @@ def main(argv=None) -> int:
         kwargs = {}
         if args.source_cap is not None:
             kwargs["source_cap"] = args.source_cap
+        if args.checkpoint_dir is not None:
+            kwargs["checkpoint_dir"] = args.checkpoint_dir
         if args.input:
             cols = ["doc_id", "lang", "text"]
             if args.source_cap is not None:

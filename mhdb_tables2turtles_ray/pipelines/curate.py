@@ -50,6 +50,7 @@ def curate_corpus(
     decontam_test_ds: ray.data.Dataset | None = None,
     decontam_ngram: int = 8,
     decontam_max_hits: int = 0,
+    checkpoint_dir: str | None = None,
     **lsh_kwargs,
 ) -> tuple[ray.data.Dataset, dict]:
     """Returns (surviving (doc_id) Dataset, funnel summary dict with
@@ -107,7 +108,21 @@ def curate_corpus(
     with it — contamination is computed once against the
     exact-deduped docs (it does not depend on the near-dup outcome), so
     the stage is one broadcast-filter probe plus an exact anti
-    semi-join of the contaminated ids."""
+    semi-join of the contaminated ids.
+
+    Pass ``checkpoint_dir`` for FUNNEL-LEVEL RESUME: each stage's
+    surviving doc-id generation is persisted there
+    (``state/funnel.FunnelCheckpoint`` — per-partition atomic parquet
+    + a done-marker per stage, parameters pinned in
+    ``_funnel_meta.json``; mismatched parameters raise). A rerun
+    resumes AFTER the last completed stage: completed stages' counts
+    come from their markers, the needed text-bearing boundary is
+    rebuilt as one exact semi-join of the input against the
+    checkpointed ids (never the Bloom path — resume must reproduce the
+    non-resumed survivor set bit-for-bit), and the summary gains
+    ``resumed_stages``. The funnel stages are deterministic pure
+    functions of (input, params), which is what makes the skipped
+    recomputation sound."""
     import ray
 
     from ..stages.semijoin import build_key_filter, semi_join
@@ -151,27 +166,110 @@ def curate_corpus(
                 f"(got {sorted(names)}) — pass source_col= if it is "
                 "named differently"
             )
-    # count without materializing: for the parquet path this is a
-    # metadata-only answer; a caller-supplied derived Dataset pays one
-    # extra execution, which beats pinning the whole corpus in the
-    # object store just to count it
-    n_input = ds.count()
-
     keep_langs = sorted(set(langs))
 
-    def fused_filter(batch: pa.Table) -> pa.Table:
-        # null text counts as 0 tokens BY RULE (dropped below
-        # min_tokens) — whitespace_token_count coalesces before counting
-        text = pc.coalesce(batch.column("text"), pa.scalar("", pa.string()))
-        n_tokens = whitespace_token_count(batch.column("text"))
-        lang = lang_vote(text)  # the same vote the lang_id query runs
-        keep = (n_tokens >= min_tokens) & np.isin(lang, keep_langs)
-        return batch.filter(pa.array(keep))
+    # --- funnel checkpointing (state/funnel.py) -----------------------
+    stage_plan = ["after_quality_lang"]
+    if length_pct_max is not None:
+        stage_plan.append("after_length_cut")
+    if source_cap is not None:
+        stage_plan.append("after_source_cap")
+    stage_plan.append("after_exact_dedup")
+    if ppl_max is not None:
+        stage_plan.append("after_perplexity")
+    stage_plan.append("after_near_dedup")
+    if embeddings_ds is not None:
+        stage_plan.append("after_semantic_dedup")
+    if decontam_test_ds is not None:
+        stage_plan.append("after_decontam")
+    ckpt = None
+    resumed: list[str] = []
+    if checkpoint_dir is not None:
+        from ..state.funnel import FunnelCheckpoint
 
-    filtered = ds.map_batches(
-        fused_filter, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # consumed by count + digest + semi-join
-    n_filtered = filtered.count()
+        ckpt = FunnelCheckpoint(
+            checkpoint_dir,
+            {
+                "min_tokens": min_tokens,
+                "langs": keep_langs,
+                "jaccard_threshold": jaccard_threshold,
+                "length_pct_max": length_pct_max,
+                "source_cap": source_cap,
+                "source_col": source_col,
+                "cap_seed": cap_seed,
+                "ppl_max": ppl_max,
+                "semantic": embeddings_ds is not None,
+                "semantic_threshold": semantic_threshold,
+                "semantic_kwargs": semantic_kwargs or {},
+                "decontam": decontam_test_ds is not None,
+                "decontam_ngram": decontam_ngram,
+                "decontam_max_hits": decontam_max_hits,
+                "lsh_kwargs": lsh_kwargs,
+            },
+        )
+        resumed = ckpt.complete_prefix(stage_plan)
+
+    def _restore(ids_ds, with_source: bool = False):
+        # stage-boundary reconstruction: EXACT semi-join only (a Bloom
+        # false positive would resurrect a dropped doc and break the
+        # run-vs-resume survivor equality this feature promises)
+        cols = ["doc_id", "text"]
+        if with_source:
+            cols.append(source_col)
+        have = (ds.schema() or pa.schema([])).names
+        base = ds.select_columns([c for c in cols if c in have])
+        keys = build_key_filter(ids_ds, "doc_id", exact_threshold=None)
+        return semi_join(base, "doc_id", ray.put(keys)).materialize()
+
+    if "after_quality_lang" in resumed:
+        info = ckpt.marker_info(stage_plan, "after_quality_lang")
+        n_input, n_filtered = info["n_input"], info["n"]
+        filtered = None  # rebuilt lazily only if a pre-dedup stage pends
+    else:
+        # count without materializing: for the parquet path this is a
+        # metadata-only answer; a caller-supplied derived Dataset pays
+        # one extra execution, which beats pinning the whole corpus in
+        # the object store just to count it
+        n_input = ds.count()
+
+        def fused_filter(batch: pa.Table) -> pa.Table:
+            # null text counts as 0 tokens BY RULE (dropped below
+            # min_tokens) — whitespace_token_count coalesces first
+            text = pc.coalesce(
+                batch.column("text"), pa.scalar("", pa.string())
+            )
+            n_tokens = whitespace_token_count(batch.column("text"))
+            lang = lang_vote(text)  # the same vote the lang_id query runs
+            keep = (n_tokens >= min_tokens) & np.isin(lang, keep_langs)
+            return batch.filter(pa.array(keep))
+
+        filtered = ds.map_batches(
+            fused_filter, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()  # consumed by count + digest + semi-join
+        n_filtered = filtered.count()
+        if ckpt is not None:
+            ckpt.save(
+                stage_plan,
+                "after_quality_lang",
+                filtered.select_columns(["doc_id"]),
+                n_filtered,
+                extra={"n_input": int(n_input)},
+            )
+
+    def _need_filtered():
+        # only reachable on resume paths where the last completed stage
+        # is pre-dedup (prefix property of complete_prefix); the source
+        # column is re-attached only while the cap stage still pends
+        nonlocal filtered
+        if filtered is None:
+            with_source = (
+                source_cap is not None and "after_source_cap" not in resumed
+            )
+            filtered = _restore(
+                ckpt.load_ids(stage_plan, resumed[-1]), with_source
+            )
+        return filtered
+
     if n_filtered == 0:
         # everything dropped (e.g. strict thresholds): short-circuit with
         # an empty survivors Dataset instead of driving the dedup stages
@@ -199,8 +297,12 @@ def curate_corpus(
         return empty, summary
 
     n_length_cut = None
-    if length_pct_max is not None:
+    if length_pct_max is not None and "after_length_cut" in resumed:
+        n_length_cut = ckpt.marker_info(stage_plan, "after_length_cut")["n"]
+    elif length_pct_max is not None:
         from ..stages.quantiles import exact_float_quantiles
+
+        filtered = _need_filtered() if filtered is None else filtered
 
         def tok_lens(batch: pa.Table) -> pa.Table:
             # the SAME count definition as the quality filter and the
@@ -228,9 +330,19 @@ def curate_corpus(
             under_cut, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
         n_length_cut = filtered.count()
+        if ckpt is not None:
+            ckpt.save(
+                stage_plan,
+                "after_length_cut",
+                filtered.select_columns(["doc_id"]),
+                n_length_cut,
+            )
 
     n_source_cap = None
-    if source_cap is not None:
+    if source_cap is not None and "after_source_cap" in resumed:
+        n_source_cap = ckpt.marker_info(stage_plan, "after_source_cap")["n"]
+    elif source_cap is not None:
+        filtered = _need_filtered() if filtered is None else filtered
         # per-source quota BEFORE the dedup stages: an over-crawled
         # source is capped first so its excess never pays for digesting,
         # LSH hashing or component finding. Deterministic smallest-k by
@@ -270,30 +382,66 @@ def curate_corpus(
             cap_keep, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
         n_source_cap = filtered.count()
+        if ckpt is not None:
+            ckpt.save(
+                stage_plan,
+                "after_source_cap",
+                filtered.select_columns(["doc_id"]),
+                n_source_cap,
+            )
 
-    def digest(batch: pa.Table) -> pa.Table:
-        keys = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch.column("text").to_pylist()
-        ]
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "text_md5": pa.array(keys)}
-        )
+    if "after_exact_dedup" in resumed:
+        n_exact = ckpt.marker_info(stage_plan, "after_exact_dedup")["n"]
+        exact_docs = None  # rebuilt lazily only when a later stage needs it
+    else:
+        filtered = _need_filtered() if filtered is None else filtered
 
-    from ..stages.grouped import bucketed_agg
+        def digest(batch: pa.Table) -> pa.Table:
+            keys = [
+                hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in batch.column("text").to_pylist()
+            ]
+            return pa.table(
+                {"doc_id": batch.column("doc_id"), "text_md5": pa.array(keys)}
+            )
 
-    exact_ids = bucketed_agg(
-        filtered.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True),
-        "text_md5",
-        "doc_id",
-        how="min",
-    ).select_columns(["doc_id"])
-    # semi-join the docs back through the thresholded key filter (exact
-    # under the threshold, Bloom above — a Bloom false positive keeps an
-    # extra duplicate, the benign direction for a keep-filter)
-    keys = build_key_filter(exact_ids, "doc_id")
-    exact_docs = semi_join(filtered, "doc_id", ray.put(keys)).materialize()
-    n_exact = exact_docs.count()
+        from ..stages.grouped import bucketed_agg
+
+        exact_ids = bucketed_agg(
+            filtered.map_batches(
+                digest, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "text_md5",
+            "doc_id",
+            how="min",
+        ).select_columns(["doc_id"])
+        # semi-join the docs back through the thresholded key filter
+        # (exact under the threshold, Bloom above — a Bloom false
+        # positive keeps an extra duplicate, the benign direction for a
+        # keep-filter)
+        keys = build_key_filter(exact_ids, "doc_id")
+        exact_docs = semi_join(filtered, "doc_id", ray.put(keys)).materialize()
+        n_exact = exact_docs.count()
+        if ckpt is not None:
+            ckpt.save(
+                stage_plan,
+                "after_exact_dedup",
+                exact_docs.select_columns(["doc_id"]),
+                n_exact,
+            )
+
+    def _need_exact():
+        # the latest text-bearing boundary: post-perplexity ids when
+        # that stage is in the resumed prefix, else post-exact-dedup
+        nonlocal exact_docs
+        if exact_docs is None:
+            name = (
+                "after_perplexity"
+                if "after_perplexity" in resumed
+                else "after_exact_dedup"
+            )
+            exact_docs = _restore(ckpt.load_ids(stage_plan, name))
+        return exact_docs
 
     # keys in funnel order: quality → [length cut] → [source cap] → dedup
     summary = {"input": int(n_input), "after_quality_lang": int(n_filtered)}
@@ -302,11 +450,17 @@ def curate_corpus(
     if n_source_cap is not None:
         summary["after_source_cap"] = int(n_source_cap)
     summary["after_exact_dedup"] = int(n_exact)
+    if ckpt is not None:
+        summary["resumed_stages"] = list(resumed)
 
-    if ppl_max is not None:
+    if ppl_max is not None and "after_perplexity" in resumed:
+        summary["after_perplexity"] = ckpt.marker_info(
+            stage_plan, "after_perplexity"
+        )["n"]
+    elif ppl_max is not None:
         from .lm import score_perplexity
 
-        scored = score_perplexity(None, ds=exact_docs)
+        scored = score_perplexity(None, ds=_need_exact())
 
         def low_ppl(t: pa.Table) -> pa.Table:
             # null perplexity (no bigrams) carries no evidence: keep
@@ -322,13 +476,47 @@ def curate_corpus(
         exact_docs = semi_join(
             exact_docs, "doc_id", ray.put(pkeys)
         ).materialize()
-        summary["after_perplexity"] = int(exact_docs.count())
+        n_ppl = int(exact_docs.count())
+        summary["after_perplexity"] = n_ppl
+        if ckpt is not None:
+            ckpt.save(
+                stage_plan,
+                "after_perplexity",
+                exact_docs.select_columns(["doc_id"]),
+                n_ppl,
+            )
 
-    survivors = dedup_keep_best_lsh(
-        ds=exact_docs, threshold=jaccard_threshold, **lsh_kwargs
-    ).materialize()
-    summary["after_near_dedup"] = int(survivors.count())
-    if embeddings_ds is not None:
+    if "after_near_dedup" in resumed:
+        summary["after_near_dedup"] = ckpt.marker_info(
+            stage_plan, "after_near_dedup"
+        )["n"]
+        survivors = None  # loaded lazily from the latest id checkpoint
+    else:
+        survivors = dedup_keep_best_lsh(
+            ds=_need_exact(), threshold=jaccard_threshold, **lsh_kwargs
+        ).materialize()
+        n_near = int(survivors.count())
+        summary["after_near_dedup"] = n_near
+        if ckpt is not None:
+            ckpt.save(stage_plan, "after_near_dedup", survivors, n_near)
+
+    def _need_survivors():
+        nonlocal survivors
+        if survivors is None:
+            last = [
+                s
+                for s in resumed
+                if s
+                in ("after_near_dedup", "after_semantic_dedup", "after_decontam")
+            ][-1]
+            survivors = ckpt.load_ids(stage_plan, last).materialize()
+        return survivors
+
+    if embeddings_ds is not None and "after_semantic_dedup" in resumed:
+        summary["after_semantic_dedup"] = ckpt.marker_info(
+            stage_plan, "after_semantic_dedup"
+        )["n"]
+    elif embeddings_ds is not None:
         from .dedup import embedding_duplicate_ids
 
         # embeddings of the SURVIVING docs only (a doc removed by the
@@ -336,7 +524,9 @@ def curate_corpus(
         # embedding row are untouched — no evidence, keep. ONE dropped
         # set, ONE anti-join: the non-root ids come straight from the
         # removal machinery rather than inverting its kept set back
-        skeys2 = build_key_filter(survivors, "doc_id", exact_threshold=None)
+        skeys2 = build_key_filter(
+            _need_survivors(), "doc_id", exact_threshold=None
+        )
         emb = semi_join(embeddings_ds, "doc_id", ray.put(skeys2))
         emb = emb.rename_columns({"doc_id": "vec_id"})
         sem_dropped = embedding_duplicate_ids(
@@ -346,12 +536,20 @@ def curate_corpus(
         survivors = semi_join(
             survivors, "doc_id", ray.put(dkeys), anti=True
         ).materialize()
-        summary["after_semantic_dedup"] = int(survivors.count())
-    if decontam_test_ds is not None:
+        n_sem = int(survivors.count())
+        summary["after_semantic_dedup"] = n_sem
+        if ckpt is not None:
+            ckpt.save(stage_plan, "after_semantic_dedup", survivors, n_sem)
+
+    if decontam_test_ds is not None and "after_decontam" in resumed:
+        summary["after_decontam"] = ckpt.marker_info(
+            stage_plan, "after_decontam"
+        )["n"]
+    elif decontam_test_ds is not None:
         from .text import decontaminate_pair
 
         contaminated = decontaminate_pair(
-            exact_docs, decontam_test_ds, n=decontam_ngram
+            _need_exact(), decontam_test_ds, n=decontam_ngram
         )
 
         def over_limit(t: pa.Table) -> pa.Table:
@@ -363,10 +561,16 @@ def curate_corpus(
         )
         ckeys = build_key_filter(bad_ids, "doc_id", exact_threshold=None)
         survivors = semi_join(
-            survivors, "doc_id", ray.put(ckeys), anti=True
+            _need_survivors(), "doc_id", ray.put(ckeys), anti=True
         ).materialize()
-        summary["after_decontam"] = int(survivors.count())
-    return survivors, summary
+        n_dec = int(survivors.count())
+        summary["after_decontam"] = n_dec
+        if ckpt is not None:
+            ckpt.save(stage_plan, "after_decontam", survivors, n_dec)
+
+    return (
+        survivors if survivors is not None else _need_survivors()
+    ), summary
 
 
 def prepare_training_data(

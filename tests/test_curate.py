@@ -688,3 +688,94 @@ def test_prepare_training_data_with_saved_model(ray_session, tmp_path):
             sf, str(tmp_path / "x"), n_shards=2,
             bpe_merges=10, bpe_model_path=mpath,
         )
+
+
+def test_funnel_checkpoint_resume(ray_session, tmp_path):
+    """Funnel-level checkpointed resume (state/funnel.py): a rerun with
+    the same checkpoint_dir skips every completed stage; a kill after
+    exact-dedup (simulated by removing the near-dedup generation)
+    resumes AT that stage; every variant reproduces the non-checkpointed
+    survivor set exactly; changed parameters raise."""
+    import shutil
+
+    import pytest as _pytest
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    ckpt = str(tmp_path / "funnel_ckpt")
+
+    def ids_of(ds):
+        return sorted(r["doc_id"] for r in ds.take_all())
+
+    plain_ds, plain_sum = curate_corpus(sf)  # no checkpointing
+    s1, sum1 = curate_corpus(sf, checkpoint_dir=ckpt)
+    assert sum1["resumed_stages"] == []
+    assert ids_of(s1) == ids_of(plain_ds)
+    stage_keys = [k for k in plain_sum if k != "input"]
+    assert all(sum1[k] == plain_sum[k] for k in stage_keys)
+
+    # rerun: EVERY stage resumes from its marker, ids identical
+    s2, sum2 = curate_corpus(sf, checkpoint_dir=ckpt)
+    assert sum2["resumed_stages"] == [
+        "after_quality_lang", "after_exact_dedup", "after_near_dedup",
+    ]
+    assert ids_of(s2) == ids_of(plain_ds)
+    assert {k: sum2[k] for k in plain_sum} == plain_sum
+
+    # kill-after-exact-dedup: drop the near-dedup generation → resume
+    # recomputes ONLY that stage (prefix = quality + exact)
+    shutil.rmtree(f"{ckpt}/02_after_near_dedup")
+    s3, sum3 = curate_corpus(sf, checkpoint_dir=ckpt)
+    assert sum3["resumed_stages"] == [
+        "after_quality_lang", "after_exact_dedup",
+    ]
+    assert ids_of(s3) == ids_of(plain_ds)
+    assert {k: sum3[k] for k in plain_sum} == plain_sum
+
+    # parameter mismatch must refuse, not silently mix generations
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        curate_corpus(sf, min_tokens=7, checkpoint_dir=ckpt)
+
+
+def test_funnel_checkpoint_resume_with_decontam(ray_session, tmp_path):
+    """Resume of the LAST stage when it needs a rebuilt earlier
+    boundary: decontamination probes the exact-deduped docs, which on
+    resume are reconstructed from the exact-dedup id generation."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    ckpt = str(tmp_path / "ck2")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    test_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": docs.column("doc_id")[:3],
+                "text": docs.column("text")[:3],
+            }
+        )
+    )
+
+    def run(**kw):
+        ds, s = curate_corpus(sf, decontam_test_ds=test_ds, **kw)
+        return sorted(r["doc_id"] for r in ds.take_all()), s
+
+    ids0, sum0 = run()
+    ids1, sum1 = run(checkpoint_dir=ckpt)
+    assert ids1 == ids0
+
+    # drop only the final decontam generation: everything else resumes
+    shutil.rmtree(f"{ckpt}/03_after_decontam")
+    ids2, sum2 = run(checkpoint_dir=ckpt)
+    assert sum2["resumed_stages"] == [
+        "after_quality_lang", "after_exact_dedup", "after_near_dedup",
+    ]
+    assert ids2 == ids0
+    assert sum2["after_decontam"] == sum0["after_decontam"]
