@@ -565,18 +565,23 @@ def asof_last_purchase(sf_dir: str) -> ray.data.Dataset:
     pandas stage and is cast NaN→null→int64 in a trailing pyarrow stage:
     pandas' nullable ``Int64`` extension dtype does not round-trip to
     Arrow ``int64`` through the block layer (observed: schema reports the
-    column type as None and the materialized hash diverges)."""
-    from ..stages.grouped import grouped_map
+    column type as None and the materialized hash diverges).
+
+    Bucket-WIDE vectorization (``sorted_bucket_map``): the whole bucket
+    is sorted once by (user, ts, event_id) and the forward fill runs as
+    ONE grouped Cython ffill over the bucket — no per-user Python loop
+    (the per-fine-group object overhead dominated the old shape)."""
+    from ..stages.grouped import sorted_bucket_map
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        marker = g["event_id"].where(g["event_type"] == "purchase")
-        g["last_purchase_event_id"] = marker.ffill()
-        return g[["event_id", "user_id", "last_purchase_event_id"]]
+    def asof_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        marker = part["event_id"].where(part["event_type"] == "purchase")
+        filled = marker.groupby(part["user_id"], sort=False).ffill()
+        part = part.assign(last_purchase_event_id=filled)
+        return part[["event_id", "user_id", "last_purchase_event_id"]]
 
-    out = grouped_map(ds, "user_id", asof)
+    out = sorted_bucket_map(ds, "user_id", ["ts", "event_id"], asof_bucket)
 
     def cast_out(t: pa.Table) -> pa.Table:
         col = t.column("last_purchase_event_id")
@@ -675,24 +680,43 @@ def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Session windows per user (stream-shaped op on the ordered log):
     a new session starts when the gap from the previous event exceeds
     ``gap_seconds``. Output: (user_id, session_id, n_events,
-    first_event_id). Coarse-bucketed grouped map + in-group ordered scan."""
-    from ..stages.grouped import grouped_map
+    first_event_id).
+
+    Bucket-WIDE vectorization (``sorted_bucket_map``): one stable sort
+    of the bucket by (user, ts, event_id), then session boundaries are
+    a single whole-column expression — a row starts a session iff the
+    user changes OR the in-user gap exceeds the timeout — and the
+    per-session aggregate is ONE vectorized groupby over the boundary
+    counter (the old per-user loop paid pandas object overhead per tiny
+    group)."""
+    from ..stages.grouped import sorted_bucket_map
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        session_id = (gaps > gap_seconds).cumsum() + 1
-        g["session_id"] = session_id
-        agg = g.groupby("session_id").agg(
-            n_events=("event_id", "size"), first_event_id=("event_id", "min")
+    def sessions_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        user = part["user_id"]
+        new_user = user.ne(user.shift())
+        gaps = part["ts"].diff().dt.total_seconds()
+        # cross-user diff is garbage but new_user forces those rows True
+        boundary = new_user | (gaps > gap_seconds)
+        agg = (
+            part.assign(__g=boundary.cumsum())
+            .groupby("__g", sort=False)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "size"),
+                first_event_id=("event_id", "min"),
+            )
+            .reset_index(drop=True)
         )
-        agg = agg.reset_index()
-        agg["user_id"] = g["user_id"].iloc[0]
+        # rows are in (user, time) order, so the within-user ordinal IS
+        # the session id
+        agg["session_id"] = (
+            agg.groupby("user_id", sort=False).cumcount() + 1
+        )
         return agg[["user_id", "session_id", "n_events", "first_event_id"]]
 
-    return grouped_map(ds, "user_id", sessions)
+    return sorted_bucket_map(ds, "user_id", ["ts", "event_id"], sessions_bucket)
 
 
 def purchase_attribution(

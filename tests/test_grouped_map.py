@@ -123,3 +123,54 @@ def test_bucketed_agg_distinct_keys_shape(ray_session):
     rows = _agg(items, "k", "k", "min", out="__d")
     assert sorted(r["k"] for r in rows) == list(range(11))
     assert all(r["__d"] == r["k"] for r in rows)
+
+
+def test_sorted_bucket_map_equals_grouped_map(ray_session):
+    """Bucket-wide vectorized shape ≡ per-group loop shape on the same
+    per-user cumulative rule (the contract sessionize/asof rely on).
+    The micro-bench motivation: the loop pays ~100 µs of pandas object
+    overhead per fine group (381x slower at 10k groups/bucket)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.grouped import (
+        grouped_map,
+        sorted_bucket_map,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 400, n).astype(np.int64),
+            "t": rng.integers(0, 10**6, n).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "v"], kind="mergesort").reset_index(drop=True)
+        g["cum"] = g["v"].cumsum()
+        return g[["k", "t", "v", "cum"]]
+
+    def bucket_wide(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.assign(
+            cum=part.groupby("k", sort=False)["v"].cumsum()
+        )
+        return part[["k", "t", "v", "cum"]]
+
+    a = (
+        grouped_map(ds, "k", per_group)
+        .to_pandas()
+        .sort_values(["k", "t", "v"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sorted_bucket_map(ds, "k", ["t", "v"], bucket_wide)
+        .to_pandas()
+        .sort_values(["k", "t", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
