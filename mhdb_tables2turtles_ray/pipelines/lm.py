@@ -148,66 +148,84 @@ def train_bigram_lm(
 
     combined = ds.map_batches(
         tagged_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # count-table-sized; consumed by two reductions
+    ).materialize()  # count-table-sized; consumed by ONE fused reduction
 
-    def only(kind: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t.column("kind"), kind))
-
-        return f
-
-    def bigram_sum(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby("key", sort=False).agg(
+    # ONE bucketed reduction answers all three questions at once —
+    # bigram totals (kind 1 rows out), per-bucket distinct-unigram
+    # counts (kind 0) and per-bucket bigram-token totals (kind 2) —
+    # instead of three separate sort executions over the same partials.
+    # At sf0.1 the per-execution fixed cost (~0.25 s each) dominated
+    # this whole operator; at 100 TB the fold is still strictly fewer
+    # passes over the count tables.
+    def fused_reduce(part: pd.DataFrame) -> pd.DataFrame:
+        uni = part[part["kind"] == 0]
+        big = part[part["kind"] == 1]
+        g = big.groupby("key", sort=False).agg(
             n=("n", "sum"), uh=("uh", "first")
         )
-        return pd.DataFrame(
-            {
-                "bh": g.index.to_numpy(),
-                "n": g["n"].to_numpy(),
-                "uh": g["uh"].to_numpy(),
-            }
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "kind": np.ones(len(g), np.int64),
+                        "bh": g.index.to_numpy(),
+                        "uh": g["uh"].to_numpy(),
+                        "n": g["n"].to_numpy(),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "kind": np.array([0, 2], np.int64),
+                        "bh": np.zeros(2, np.int64),
+                        "uh": np.zeros(2, np.int64),
+                        "n": np.array(
+                            [uni["key"].nunique(), g["n"].sum()], np.int64
+                        ),
+                    }
+                ),
+            ],
+            ignore_index=True,
         )
 
-    bigrams_full = (
-        combined.map_batches(
-            only(1), batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("b")
-        .map_groups(bigram_sum, batch_format="pandas")
+    fused = (
+        combined.groupby("b")
+        .map_groups(fused_reduce, batch_format="pandas")
         .materialize()
     )
 
-    from ..stages.grouped import bucketed_agg
+    def only(kind: int, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind)).select(cols)
 
-    contexts = bucketed_agg(bigrams_full, "uh", "n", how="sum").materialize()
+        return f
 
-    def uni_distinct(part: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"key": part["key"].unique()})
-
-    vocab_size = (
-        combined.map_batches(
-            only(0), batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("b")
-        .map_groups(uni_distinct, batch_format="pandas")
-        .count()
-    )
-
-    bigrams = bigrams_full.map_batches(
-        lambda t: t.select(["bh", "n"]),
+    # driver sees 2 rows per bucket, never a count table
+    stats = fused.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("kind"), 1)),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()
+    ).take_all()
+    vocab_size = sum(r["n"] for r in stats if r["kind"] == 0)
+    n_bigrams = sum(r["n"] for r in stats if r["kind"] == 2)
 
-    from ray.data.aggregate import Sum
+    from ..stages.grouped import bucketed_agg
 
-    row = bigrams.aggregate(Sum("n", alias_name="s"))
-    n_bigrams = int(row["s"]) if row is not None and row["s"] is not None else 0
+    bigrams_full = fused.map_batches(
+        only(1, ["bh", "uh", "n"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    contexts = bucketed_agg(bigrams_full, "uh", "n", how="sum").materialize()
+
+    # lazy select off the materialized fused result — auto_join
+    # materializes its right side anyway, so a second eager materialize
+    # here would just pay one more execution
+    bigrams = fused.map_batches(
+        only(1, ["bh", "n"]), batch_format="pyarrow", zero_copy_batch=True
+    )
     return {
         "bigrams": bigrams,
         "contexts": contexts,
         "vocab_size": int(vocab_size),
-        "n_bigrams": n_bigrams,
+        "n_bigrams": int(n_bigrams),
     }
 
 
@@ -301,53 +319,62 @@ def score_perplexity(
             s=("s", "sum"), n=("n", "sum")
         )
         n = g["n"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = np.where(
+                n > 0, np.exp(-g["s"].to_numpy() / np.maximum(n, 1)), np.nan
+            )
         return pd.DataFrame(
             {
                 "doc_id": g.index.to_numpy(),
                 "n_bigrams": n,
-                "ppl": np.exp(-g["s"].to_numpy() / n),
+                "ppl": ppl,
             }
         )
 
-    scored = (
-        with_c1.map_batches(logprob, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("b")
-        .map_groups(bucket_finish, batch_format="pandas")
-    )
+    # Docs with < 2 tokens never emit a bigram row. Instead of a whole
+    # re-attach join at the end (two extra executions — measured to be
+    # a third of this operator's wall time at sf0.1), every input doc
+    # contributes a ZERO partial (s=0.0, n=0) into the SAME bucket
+    # reduction: coverage is total by construction, and adding 0.0
+    # terms to an IEEE sum chain is bit-exact (x + 0.0 == x), so the
+    # scored values are unchanged.
+    def id_markers(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "s": pa.array(np.zeros(len(ids), np.float64), pa.float64()),
+                "n": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "b": pa.array(
+                    (ids.view(np.uint64) % np.uint64(256)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
 
-    # docs with < 2 tokens never emit a bigram row: re-attach them with
-    # n_bigrams = 0 / null ppl so the output covers every input doc
-    ids_only = ds.map_batches(
-        lambda t: t.select(["doc_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    partials = with_c1.map_batches(
+        logprob, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ds.map_batches(id_markers, batch_format="pyarrow", zero_copy_batch=True)
     )
-    full = auto_join(
-        ids_only,
-        scored,
-        on="doc_id",
-        left_cols=[],
-        right_cols=["n_bigrams", "ppl"],
-        how="left",
+    scored = partials.groupby("b").map_groups(
+        bucket_finish, batch_format="pandas"
     )
 
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # unmatched docs surface as null (broadcast path; an all-null
-        # batch is even typed pa.null()) or NaN (shuffle path's
-        # schema-stable float column) — normalize all three
-        n = batch.column("n_bigrams")
-        if pa.types.is_null(n.type):
-            n = n.cast(pa.float64())
-        if pa.types.is_floating(n.type):
-            n = pc.if_else(pc.is_nan(n), pa.scalar(None, n.type), n)
+        # a no-bigram doc's ppl is NaN from the numpy path — normalize
+        # to a real Arrow null (the hash gate distinguishes them)
+        ppl = batch.column("ppl")
+        if pa.types.is_floating(ppl.type):
+            ppl = pc.if_else(pc.is_nan(ppl), pa.scalar(None, ppl.type), ppl)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_bigrams": pc.fill_null(n, 0).cast(pa.int64()),
-                "ppl": batch.column("ppl").cast(pa.float64()),
+                "n_bigrams": pc.cast(batch.column("n_bigrams"), pa.int64()),
+                "ppl": pc.cast(ppl, pa.float64()),
             }
         )
 
-    return full.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
