@@ -585,12 +585,22 @@ def main(argv=None) -> int:
         return 0
 
     if getattr(args, "workbook", None):
-        from .pipelines.chills import build_chills_from_workbook
+        if args.specs:
+            # generic path: ANY workbook + a declarative config binding
+            # specs/lookups/header to its sheets
+            from .pipelines.workbook import build_workbook
 
-        summary = build_chills_from_workbook(
-            args.workbook, args.out,
-            num_partitions=args.partitions, resume=not args.no_resume,
-        )
+            summary = build_workbook(
+                args.workbook, args.specs, args.out,
+                num_partitions=args.partitions, resume=not args.no_resume,
+            )
+        else:
+            from .pipelines.chills import build_chills_from_workbook
+
+            summary = build_chills_from_workbook(
+                args.workbook, args.out,
+                num_partitions=args.partitions, resume=not args.no_resume,
+            )
         if args.validate:
             from .stages.validate import validate_turtle_dir
 

@@ -51,6 +51,7 @@ def curate_corpus(
     decontam_ngram: int = 8,
     decontam_max_hits: int = 0,
     checkpoint_dir: str | None = None,
+    checkpoint_partitions: int = 16,
     **lsh_kwargs,
 ) -> tuple[ray.data.Dataset, dict]:
     """Returns (surviving (doc_id) Dataset, funnel summary dict with
@@ -189,7 +190,8 @@ def curate_corpus(
 
         ckpt = FunnelCheckpoint(
             checkpoint_dir,
-            {
+            num_partitions=checkpoint_partitions,
+            params={
                 "min_tokens": min_tokens,
                 "langs": keep_langs,
                 "jaccard_threshold": jaccard_threshold,
@@ -205,6 +207,10 @@ def curate_corpus(
                 "decontam_ngram": decontam_ngram,
                 "decontam_max_hits": decontam_max_hits,
                 "lsh_kwargs": lsh_kwargs,
+                # structural: the generation files' partition width — a
+                # kill mid-checkpoint-write resumed at a different width
+                # would mis-read the sink's completed-partition manifests
+                "checkpoint_partitions": checkpoint_partitions,
             },
         )
         resumed = ckpt.complete_prefix(stage_plan)

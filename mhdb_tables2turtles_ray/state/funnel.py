@@ -32,7 +32,10 @@ _DONE = "_stage_done.json"
 class FunnelCheckpoint:
     """Per-stage survivor-id generations under ``ckpt_dir``."""
 
-    def __init__(self, ckpt_dir: str, params: dict):
+    def __init__(self, ckpt_dir: str, params: dict, num_partitions: int = 16):
+        # generation width: size so one partition's id file stays in the
+        # tens-of-MB band (1e9 ids / 256 partitions ≈ 31 MB of int64)
+        self.num_partitions = num_partitions
         self.dir = ckpt_dir
         os.makedirs(ckpt_dir, exist_ok=True)
         self._params = json.loads(json.dumps(params, sort_keys=True))
@@ -99,7 +102,6 @@ class FunnelCheckpoint:
         ids_ds,
         count: int,
         extra: dict | None = None,
-        num_partitions: int = 16,
     ) -> None:
         """Persist one stage's id generation + completion marker.
         No-op when the marker already exists (stage was resumed)."""
@@ -113,7 +115,7 @@ class FunnelCheckpoint:
             ids_ds,
             self._stage_dir(i, name),
             key_col="doc_id",
-            num_partitions=num_partitions,
+            num_partitions=self.num_partitions,
             resume=True,
             sort_within=["doc_id"],
         )

@@ -141,3 +141,68 @@ def test_cli_workbook_build_parses_back_to_golden(workbook_path, tmp_path):
     golden_text = open("/root/reference/output/chills.ttl").read()
     header = open(os.path.join(out_dir, "header.ttl")).read()
     assert golden_text.startswith(header)
+
+
+def test_generic_workbook_config_reproduces_golden(workbook_path, tmp_path):
+    """The GENERIC workbook surface (build --workbook X --specs cfg.json,
+    pipelines/workbook.py) expresses the whole chills module as pure
+    config — specs rows + sheet bindings + lookup defs + header — and
+    its output must parse back to the full golden file exactly, same as
+    the coded module. Closes the loop: a user can run a NEW workbook
+    with zero engine code."""
+    from mhdb_tables2turtles_ray.pipelines import chills as C
+    from mhdb_tables2turtles_ray.stages.spec_config import specs_to_rows
+
+    specs_by_sheet = C.chills_specs()
+    all_specs, sheets = [], {}
+    for sheet, specs in specs_by_sheet.items():
+        for s in specs:
+            all_specs.append(s)
+            sheets[s.name] = sheet
+    cfg = {
+        "specs": specs_to_rows(all_specs),
+        "sheets": sheets,
+        "lookups": [
+            {
+                "name": name,
+                "sheet": sheet,
+                "key": "index",
+                "value": col,
+                **({"truncate": trunc} if trunc else {}),
+            }
+            for name, sheet, col, trunc in C._LOOKUPS
+        ],
+        "header": {
+            "base_uri": C.CHILLS_BASE_URI,
+            "version": C.CHILLS_VERSION,
+            "label": C.CHILLS_LABEL,
+            "comment": C.CHILLS_COMMENT,
+            "prefixes": C.CHILLS_PREFIXES,
+        },
+    }
+    cfg_path = str(tmp_path / "chills_cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    out_dir = str(tmp_path / "generic_kg")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "mhdb_tables2turtles_ray", "build",
+            "--workbook", workbook_path,
+            "--specs", cfg_path,
+            "--out", out_dir,
+            "--partitions", "4",
+            "--num-cpus", "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    text = open(os.path.join(out_dir, "header.ttl")).read()
+    for fname in sorted(os.listdir(out_dir)):
+        if fname.endswith(".ttl") and fname != "header.ttl":
+            text += "\n\n" + open(os.path.join(out_dir, fname)).read()
+    assert parse_triples(text) == load_golden()
