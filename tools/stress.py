@@ -129,6 +129,54 @@ def run_curate(sf_dir: str, replicas: int) -> dict:
     }
 
 
+def run_curate_resume(sf_dir: str, replicas: int) -> dict:
+    """Funnel-checkpoint resume at stress scale: full checkpointed run,
+    then the final (near-dedup) generation is deleted — simulating a
+    kill during the most expensive stage — and the rerun must resume
+    from the exact-dedup boundary with an IDENTICAL survivor set.
+    Reports both wall times; the resume run skips the quality scan and
+    the digest dedup entirely."""
+    import shutil
+    import tempfile
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    ckpt = tempfile.mkdtemp(prefix="funnel_ck_", dir="/tmp")
+    try:
+        ds, n_docs = replicated_documents(sf_dir, replicas)
+        t0 = time.time()
+        survivors, funnel = curate_corpus(
+            None, ds=ds, langs=("en", "de", "fr"), checkpoint_dir=ckpt
+        )
+        ids_full = sorted(r["doc_id"] for r in survivors.take_all())
+        t_full = time.time() - t0
+
+        shutil.rmtree(f"{ckpt}/02_after_near_dedup")
+        ds2, _ = replicated_documents(sf_dir, replicas)
+        t1 = time.time()
+        survivors2, funnel2 = curate_corpus(
+            None, ds=ds2, langs=("en", "de", "fr"), checkpoint_dir=ckpt
+        )
+        ids_resumed = sorted(r["doc_id"] for r in survivors2.take_all())
+        t_resume = time.time() - t1
+        return {
+            "sec_full": round(t_full, 1),
+            "sec_resume": round(t_resume, 1),
+            "docs_per_sec_full": round(n_docs / t_full),
+            "resumed_stages": funnel2["resumed_stages"],
+            "funnel": funnel,
+            "survivors": len(ids_full),
+            "exact": ids_full == ids_resumed
+            and all(
+                funnel[k] == funnel2[k]
+                for k in funnel
+                if k != "resumed_stages"
+            ),
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def run_decontam(sf_dir: str, replicas: int) -> dict:
     import pyarrow.parquet as pq
     import ray
@@ -247,7 +295,8 @@ def run_cap(sf_dir: str, replicas: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("which",
-                    choices=["bpe", "curate", "decontam", "quantiles", "cap"])
+                    choices=["bpe", "curate", "curate_resume", "decontam",
+                             "quantiles", "cap"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=400)
     ap.add_argument("--num-cpus", type=int, default=32)
@@ -269,6 +318,7 @@ def main() -> int:
     fn = {
         "bpe": run_bpe,
         "curate": run_curate,
+        "curate_resume": run_curate_resume,
         "decontam": run_decontam,
         "quantiles": run_quantiles,
         "cap": run_cap,
