@@ -638,21 +638,52 @@ def events_sliding_window(
     ``events_hourly``): for every event, the count of the same user's
     events in the trailing ``window_seconds`` (inclusive of ts-peers on
     both ends — RANGE-window semantics, so the result is deterministic
-    without a tiebreak). Coarse-bucketed grouped map; inside each group
-    a vectorized two-searchsorted pass, no per-row loop."""
-    from ..stages.grouped import grouped_map
+    without a tiebreak).
+
+    Bucket-WIDE vectorization: users' timestamp runs are made globally
+    monotone by adding ``segment_index * OFFSET`` (OFFSET > bucket ts
+    span + window), so ONE pair of searchsorted calls over the whole
+    bucket answers every user — probes can never cross a segment
+    boundary because segments are OFFSET apart. Falls back to the
+    per-group loop if the shifted domain would overflow int64 (absurd
+    spans only; the guard is explicit, not probabilistic)."""
+    from ..stages.grouped import grouped_map, sorted_bucket_map
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    win_us = window_seconds * 1_000_000
 
-    def window(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        lo = np.searchsorted(ts, ts - window_seconds * 1_000_000, side="left")
-        hi = np.searchsorted(ts, ts, side="right")  # includes ts-peers
-        g["n_trailing"] = (hi - lo).astype(np.int64)
-        return g[["event_id", "user_id", "n_trailing"]]
+    def window_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        ts = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        user = part["user_id"].to_numpy()
+        if len(ts):
+            seg = np.cumsum(
+                np.concatenate([[0], (user[1:] != user[:-1]).astype(np.int64)])
+            )
+            span = int(ts.max()) - int(ts.min())
+            offset = span + win_us + 1
+            if offset * (int(seg[-1]) + 1) < 2**62:  # overflow guard
+                adj = ts + seg * offset
+                lo = np.searchsorted(adj, adj - win_us, side="left")
+                hi = np.searchsorted(adj, adj, side="right")
+            else:  # per-segment fallback (vanishingly rare spans)
+                lo = np.empty(len(ts), np.int64)
+                hi = np.empty(len(ts), np.int64)
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(user[1:] != user[:-1]) + 1, [len(ts)]]
+                )
+                for a, b in zip(starts[:-1], starts[1:]):
+                    seg_ts = ts[a:b]
+                    lo[a:b] = a + np.searchsorted(
+                        seg_ts, seg_ts - win_us, side="left"
+                    )
+                    hi[a:b] = a + np.searchsorted(seg_ts, seg_ts, side="right")
+        else:
+            lo = hi = np.empty(0, np.int64)
+        part = part.copy(deep=False)
+        part["n_trailing"] = (hi - lo).astype(np.int64)
+        return part[["event_id", "user_id", "n_trailing"]]
 
-    return grouped_map(ds, "user_id", window)
+    return sorted_bucket_map(ds, "user_id", ["ts", "event_id"], window_bucket)
 
 
 def events_sample_per_user(sf_dir: str, k: int = 3) -> ray.data.Dataset:
@@ -662,18 +693,29 @@ def events_sample_per_user(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     'random' key; DuckDB's md5 matches hashlib's hex)."""
     import hashlib as _hl
 
-    from ..stages.grouped import grouped_map
+    from ..stages.grouped import sorted_bucket_map
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
 
-    def sample(g: pd.DataFrame) -> pd.DataFrame:
+    def add_hk(batch: pa.Table) -> pa.Table:
+        # md5 stays per-row (it IS the cross-engine sample key) but runs
+        # in the stateless map stage, off the shuffle's critical path
         hk = [
-            _hl.md5(str(e).encode()).hexdigest() for e in g["event_id"].tolist()
+            _hl.md5(str(e).encode()).hexdigest()
+            for e in batch.column("event_id").to_pylist()
         ]
-        g = g.assign(__hk=hk).sort_values(["__hk", "event_id"], kind="mergesort")
-        return g.head(k)[["user_id", "event_id"]]
+        return batch.append_column("__hk", pa.array(hk, pa.string()))
 
-    return grouped_map(ds, "user_id", sample)
+    def sample_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        keep = part.groupby("user_id", sort=False).cumcount() < k
+        return part.loc[keep, ["user_id", "event_id"]]
+
+    return sorted_bucket_map(
+        ds.map_batches(add_hk, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        ["__hk", "event_id"],
+        sample_bucket,
+    )
 
 
 def sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:

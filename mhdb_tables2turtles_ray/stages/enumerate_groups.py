@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from .grouped import grouped_map
+from .grouped import sorted_bucket_map
 
 
 def enumerate_in_groups(
@@ -28,14 +28,18 @@ def enumerate_in_groups(
     tiebreaker column).
 
     This is a shuffle on a coarse hash bucket of ``group_key`` (one task
-    per bucket, fine keys grouped with pandas inside); group size must
-    fit a worker (true for per-questionnaire/per-user groups; salt or
-    window by range if a key ever exceeds block size).
+    per bucket); the rank is ONE vectorized ``groupby.cumcount`` over
+    the bucket sorted by (key, order_by) — no per-fine-group Python
+    (``stages/grouped.py:sorted_bucket_map``). Group size must fit a
+    worker (true for per-questionnaire/per-user groups; salt or window
+    by range if a key ever exceeds block size).
     """
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        g[out_col] = range(start, start + len(g))
-        return g
+    def rank_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy(deep=False)
+        part[out_col] = (
+            part.groupby(group_key, sort=False).cumcount() + start
+        )
+        return part
 
-    return grouped_map(ds, group_key, rank)
+    return sorted_bucket_map(ds, group_key, order_by, rank_bucket)
