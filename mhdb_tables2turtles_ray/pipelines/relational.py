@@ -334,18 +334,41 @@ def events_running_total(sf_dir: str) -> ray.data.Dataset:
     """Prefix scan: each user's cumulative event value in (ts, event_id)
     order. Computed as integer cents inside the group (exact,
     order-independent across engines) and divided out at the boundary —
-    the same fixed-point discipline as the monetary aggregates."""
-    from ..stages.grouped import grouped_map
+    the same fixed-point discipline as the monetary aggregates.
+
+    Bucket-WIDE vectorization (``sorted_bucket_map``): ONE cumsum over
+    the (user, ts, event_id)-sorted bucket, then each row subtracts the
+    cumsum value just before its user's segment start — every user's
+    prefix scan in three whole-column operations, no per-user loop."""
+    from ..stages.grouped import sorted_bucket_map
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
-        g["running_value"] = round_half_away(np.cumsum(cents) / 100.0, 2)
-        return g[["event_id", "user_id", "running_value"]]
+    def scan_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(part["value"].to_numpy() * 100).astype(np.int64)
+        cum = np.cumsum(cents)
+        user = part["user_id"].to_numpy()
+        if len(user):
+            seg = np.cumsum(
+                np.concatenate([[0], (user[1:] != user[:-1]).astype(np.int64)])
+            )
+            starts = np.concatenate(
+                [[0], np.flatnonzero(user[1:] != user[:-1]) + 1]
+            )
+            # cumsum just before each segment's first row (0 for the first)
+            base = np.concatenate([[0], cum[starts[1:] - 1]])
+            running = cum - base[seg]
+        else:
+            running = cum
+        return pd.DataFrame(
+            {
+                "event_id": part["event_id"].to_numpy(),
+                "user_id": user,
+                "running_value": round_half_away(running / 100.0, 2),
+            }
+        )
 
-    return grouped_map(ds, "user_id", scan)
+    return sorted_bucket_map(ds, "user_id", ["ts", "event_id"], scan_bucket)
 
 
 def events_pivot_by_type(sf_dir: str) -> ray.data.Dataset:
@@ -389,20 +412,38 @@ def topk_orders_per_customer(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     in-group rank (deterministic tiebreak on orderkey). Rides the
     coarse-bucketed grouped map — the shuffle moves one task per hash
     bucket, and each fine group sorts only its own rows (never a global
-    sort)."""
-    from ..stages.grouped import grouped_map
+    sort).
+
+    Bucket-WIDE vectorization (``sorted_bucket_map``): a negated-price
+    column added in the stateless map stage turns the descending sort
+    into the helper's ascending (custkey, -price, orderkey) order
+    (float negation is exact, so ties break identically); every
+    customer's top-k is then ONE ``cumcount() < k`` mask over the
+    bucket."""
+    from ..stages.grouped import sorted_bucket_map
 
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = range(1, len(g) + 1)
-        return g[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+    def add_neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__neg_price", pc.negate(batch.column("o_totalprice"))
+        )
 
-    return grouped_map(ds, "o_custkey", topk)
+    def topk_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        rank = part.groupby("o_custkey", sort=False).cumcount()
+        keep = rank < k
+        out = part.loc[keep, ["o_custkey", "o_orderkey", "o_totalprice"]].copy(
+            deep=False
+        )
+        out["rank"] = (rank[keep] + 1).astype(np.int64)
+        return out
+
+    return sorted_bucket_map(
+        ds.map_batches(add_neg, batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey",
+        ["__neg_price", "o_orderkey"],
+        topk_bucket,
+    )
 
 
 def _event_cent_hist(sf_dir: str) -> ray.data.Dataset:
@@ -781,44 +822,88 @@ def purchase_attribution(
     difference (no per-pair work, no per-row Python). The monetary sum
     rides integer cents (fixed point) so the result is summation-order
     independent — the same discipline as ``_event_cent_hist``.
-    """
-    from ..stages.grouped import grouped_map
+
+    Bucket-WIDE vectorization (``sorted_bucket_map``): the same
+    segment-offset trick as :func:`events_sliding_window` — each user's
+    rows are shifted by ``segment_index * OFFSET`` (OFFSET > bucket ts
+    span + window) so the NON-purchase rows of the whole bucket form one
+    globally sorted array and two ``searchsorted`` probes answer every
+    purchase at once (a probe can never cross a segment boundary).
+    Falls back to a per-segment loop if the shifted domain would
+    overflow int64."""
+    from ..stages.grouped import sorted_bucket_map
 
     ds = read_table(
         sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
     )
-    win = np.timedelta64(window_seconds, "s")
+    win_us = window_seconds * 1_000_000
 
-    def attrib(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == "purchase"]
-        if left.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype=np.int64),
-                    "user_id": pd.Series([], dtype=np.int64),
-                    "n_attributed": pd.Series([], dtype=np.int64),
-                    "attributed_cents": pd.Series([], dtype=np.int64),
-                }
-            )
-        right = g[g["event_type"] != "purchase"].sort_values("ts", kind="mergesort")
-        rts = right["ts"].to_numpy()
+    def attrib_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_attributed": pd.Series([], dtype=np.int64),
+                "attributed_cents": pd.Series([], dtype=np.int64),
+            }
+        )
+        is_p = part["event_type"].eq("purchase").to_numpy()
+        if not is_p.any():
+            return empty
+        ts = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        user = part["user_id"].to_numpy()
+        seg = np.cumsum(
+            np.concatenate([[0], (user[1:] != user[:-1]).astype(np.int64)])
+        )
         # 2-decimal values: *100 never lands on an exact .5, so rint
         # (half-even) == DuckDB round (half-away) here, as in the hist
-        cents = np.rint(right["value"].to_numpy() * 100.0).astype(np.int64)
-        csum = np.concatenate([[0], np.cumsum(cents)])
-        pts = left["ts"].to_numpy()
-        lo = np.searchsorted(rts, pts - win, side="left")  # >= ts - window
-        hi = np.searchsorted(rts, pts, side="left")  # strictly < ts
+        cents = np.rint(part["value"].to_numpy() * 100.0).astype(np.int64)
+        span = int(ts.max()) - int(ts.min())
+        offset = span + win_us + 1
+        if offset * (int(seg[-1]) + 1) < 2**62:  # overflow guard
+            adj = ts + seg * offset
+            radj = adj[~is_p]
+            csum = np.concatenate([[0], np.cumsum(cents[~is_p])])
+            padj = adj[is_p]
+            lo = np.searchsorted(radj, padj - win_us, side="left")  # >= ts - win
+            hi = np.searchsorted(radj, padj, side="left")  # strictly < ts
+        else:  # per-segment fallback (vanishingly rare spans)
+            n_p = int(is_p.sum())
+            lo = np.empty(n_p, np.int64)
+            hi = np.empty(n_p, np.int64)
+            starts = np.concatenate(
+                [[0], np.flatnonzero(user[1:] != user[:-1]) + 1, [len(ts)]]
+            )
+            r_base = 0  # right-side rows already placed before this segment
+            p_base = 0  # purchases already answered
+            for a, b in zip(starts[:-1], starts[1:]):
+                seg_p = is_p[a:b]
+                seg_rts = ts[a:b][~seg_p]
+                seg_pts = ts[a:b][seg_p]
+                k = len(seg_pts)
+                lo[p_base : p_base + k] = r_base + np.searchsorted(
+                    seg_rts, seg_pts - win_us, side="left"
+                )
+                hi[p_base : p_base + k] = r_base + np.searchsorted(
+                    seg_rts, seg_pts, side="left"
+                )
+                r_base += len(seg_rts)
+                p_base += k
+            # rows are in segment order, so the global prefix sum over
+            # cents[~is_p] matches the r_base-offset indices
+            csum = np.concatenate([[0], np.cumsum(cents[~is_p])])
         return pd.DataFrame(
             {
-                "event_id": left["event_id"].to_numpy(),
-                "user_id": left["user_id"].to_numpy(),
+                "event_id": part["event_id"].to_numpy()[is_p],
+                "user_id": user[is_p],
                 "n_attributed": (hi - lo).astype(np.int64),
                 "attributed_cents": (csum[hi] - csum[lo]).astype(np.int64),
             }
         )
 
-    return grouped_map(ds, "user_id", attrib)
+    return sorted_bucket_map(
+        ds, "user_id", ["ts", "event_id"], attrib_bucket
+    )
 
 
 def events_rollup(sf_dir: str) -> ray.data.Dataset:

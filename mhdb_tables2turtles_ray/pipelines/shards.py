@@ -293,30 +293,35 @@ def cap_per_stratum(
     identical survivors; a different seed is a fresh draw), but built
     for UNBOUNDED stratum cardinality: web-scale source domains number
     in the millions, so the final per-stratum merge rides the
-    coarse-bucketed ``grouped_map`` (256-way hash-bucket shuffle,
-    pandas fine-key groupby inside each bucket task) instead of a
-    fine-key ``groupby().map_groups`` whose per-group overhead would
-    dominate. The exchange still carries only the per-batch partial
-    top-k rows (≤ strata-per-batch × #batches × k), never the corpus.
+    coarse-bucketed ``sorted_bucket_map`` (256-way hash-bucket shuffle,
+    then the per-stratum head(k) is ONE ``cumcount() < k`` mask over
+    the (stratum, hk, id)-sorted bucket) instead of a fine-key
+    ``groupby().map_groups`` whose per-group overhead would dominate.
+    The exchange still carries only the per-batch partial top-k rows
+    (≤ strata-per-batch × #batches × k), never the corpus.
 
-    Rows with a NULL stratum are dropped (``grouped_map``'s pandas
-    groupby semantics) — a doc with no source carries no quota
+    Rows with a NULL stratum are dropped (by the partial's pandas
+    groupby) — a doc with no source carries no quota
     evidence; keep-them semantics belong to the caller via fill_null
     upstream."""
     if k < 1:
         raise ValueError(f"cap k must be >= 1, got {k}")
-    from ..stages.grouped import grouped_map
+    from ..stages.grouped import sorted_bucket_map
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return _smallest_k_partial(df, stratum_col, id_col, k, seed)
 
-    def final(part: pd.DataFrame) -> pd.DataFrame:
-        return _smallest_k_merge(part, id_col, k)[[stratum_col, id_col]]
+    def final_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        # sorted by (stratum, hk, id): per-stratum head(k) — the
+        # _smallest_k_merge rule — is one cumcount mask over the bucket
+        keep = part.groupby(stratum_col, sort=False).cumcount() < k
+        return part.loc[keep, [stratum_col, id_col]]
 
-    return grouped_map(
+    return sorted_bucket_map(
         ds.map_batches(partial, batch_format="pandas"),
         stratum_col,
-        final,
+        [_HK, id_col],
+        final_bucket,
         num_buckets=num_buckets,
     )
 

@@ -106,6 +106,38 @@ def sorted_bucket_map(
     )
 
 
+def bucket_map(
+    ds,
+    key: str,
+    bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 256,
+):
+    """:func:`sorted_bucket_map` without the sort: ``bucket_fn``
+    receives the ENTIRE bucket (row order unspecified) for per-group
+    logic that needs whole groups but no in-group ordering — e.g. a
+    per-key EXISTS flag computed as one ``isin`` against the key set
+    that satisfies the predicate (``stages/provenance.py``). Same
+    correctness contract (coarse hash is a pure function of ``key``, so
+    a bucket holds only whole groups) at the cost of one shuffle and
+    zero sorts."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df[_BUCKET] = (
+            pd.util.hash_array(df[key].to_numpy()) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    def run_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(part.drop(columns=[_BUCKET]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby(_BUCKET)
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
 def bucketed_agg(
     ds,
     key: str,

@@ -16,18 +16,27 @@ from __future__ import annotations
 
 import pandas as pd
 
-from .grouped import grouped_map
+from .grouped import bucket_map
 
 
 def flag_sourced(
     triples,
     provenance_predicate: str = "dcterms:isReferencedBy",
 ):
-    """(subj, pred, obj) → (subj, pred, obj, sourced: bool)."""
+    """(subj, pred, obj) → (subj, pred, obj, sourced: bool).
 
-    def flag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["sourced"] = bool((g["pred"] == provenance_predicate).any())
-        return g
+    Bucket-WIDE vectorization (``bucket_map``): a subject is sourced iff
+    it appears in the bucket's set of subjects carrying the provenance
+    predicate — one boolean mask + one ``isin`` per bucket instead of a
+    per-subject pandas loop (~100 µs × |subjects| saved; the coarse hash
+    guarantees a subject's triples never straddle buckets)."""
 
-    return grouped_map(triples, "subj", flag)
+    def flag(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy(deep=False)
+        sourced_subjects = part.loc[
+            part["pred"].eq(provenance_predicate), "subj"
+        ].unique()
+        part["sourced"] = part["subj"].isin(sourced_subjects)
+        return part
+
+    return bucket_map(triples, "subj", flag)
