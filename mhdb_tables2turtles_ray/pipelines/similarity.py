@@ -745,7 +745,7 @@ def knn_graph(
     force (pinned against a dense numpy reference). Ties break
     (cosine desc, neighbor_id asc) and cosine rounds to 6 decimals,
     exactly like ``ann_topk``."""
-    from ..stages.grouped import grouped_map
+    from ..stages.grouped import grouped_map, sorted_bucket_map
     from ..stages.kmeans import kmeans_fit
 
     if ds is None:
@@ -794,6 +794,7 @@ def knn_graph(
                     "query_id": np.array([], dtype=np.int64),
                     "neighbor_id": np.array([], dtype=np.int64),
                     "cosine": np.array([], dtype=np.float64),
+                    "__neg_cos": np.array([], dtype=np.float64),
                 }
             )
         mids = mem["vec_id"].to_numpy()
@@ -801,26 +802,49 @@ def knn_graph(
         qids = g["vec_id"].to_numpy()
         Q = np.stack(g["vec"].to_numpy())
         cos = Q @ M.T
-        out_q, out_v, out_c = [], [], []
-        for qi in range(len(qids)):
-            allowed = np.nonzero(mids != qids[qi])[0]
-            if not len(allowed):
-                continue
-            order = allowed[
-                np.lexsort((mids[allowed], -cos[qi][allowed]))
-            ][:k]
-            out_q.extend([int(qids[qi])] * len(order))
-            out_v.extend(mids[order].tolist())
-            out_c.extend(cos[qi][order].tolist())
+        # self-pairs sort last (-inf) and are dropped by the finite mask
+        cos[qids[:, None] == mids[None, :]] = -np.inf
+        n_q, n_m = cos.shape
+        # ONE flat lexsort replaces the per-query loop: sort every
+        # (query, member) pair by (query row, cosine desc, member id
+        # asc) — stable, so ties break exactly like the per-row lexsort
+        flat_cos = cos.ravel()
+        order = np.lexsort(
+            (np.tile(mids, n_q), -flat_cos, np.repeat(np.arange(n_q), n_m))
+        )
+        # blocks are contiguous per query row, so in-row rank is mod n_m
+        keep = (np.arange(n_q * n_m) % n_m < k) & np.isfinite(flat_cos[order])
+        sel = order[keep]
+        picked = flat_cos[sel]
         return pd.DataFrame(
             {
-                "query_id": np.array(out_q, dtype=np.int64),
-                "neighbor_id": np.array(out_v, dtype=np.int64),
-                "cosine": np.array(out_c, dtype=np.float64),
+                "query_id": qids[sel // n_m],
+                "neighbor_id": np.tile(mids, n_q)[sel],
+                "cosine": picked,
+                # merge sort key (the final stage sorts ascending only)
+                "__neg_cos": -picked,
             }
         )
 
     partials = grouped_map(exploded, "cluster", cluster_topk, num_buckets=num_buckets)
-    # per-query global merge: coarse-bucketed (every vector is a fine
-    # key — a fine-key map_groups here would be per-group-overhead-bound)
-    return grouped_map(partials, "query_id", _final_topk(k), num_buckets=num_buckets)
+
+    def final_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        # sorted by (query, cosine desc, neighbor asc): each query's
+        # global top-k is one cumcount mask — every vector is a fine
+        # key, so the per-group _final_topk loop would dominate here
+        rank = part.groupby("query_id", sort=False).cumcount()
+        keep = rank < k
+        out = part.loc[keep, ["query_id", "neighbor_id"]].copy(deep=False)
+        out["rank"] = (rank[keep] + 1).astype(np.int64)
+        out["cosine"] = round_half_away(
+            part.loc[keep, "cosine"].to_numpy(), 6
+        )  # FP-stable cross-engine, rounded AFTER selection like _final_topk
+        return out
+
+    return sorted_bucket_map(
+        partials,
+        "query_id",
+        ["__neg_cos", "neighbor_id"],
+        final_bucket,
+        num_buckets=num_buckets,
+    )
