@@ -26,6 +26,13 @@ from ray.data.aggregate import Sum
 from ..functions.numeric import round_half_away
 from ..sources.tables import load_lookup, read_table
 
+# Ceiling for the segment-offset trick's shifted time domain
+# (events_sliding_window / purchase_attribution): if
+# offset * n_segments would exceed this, the bucket falls back to the
+# per-segment loop. Module-level so tests can force the fallback and
+# pin branch equality (cloudpickle captures the patched value).
+_SHIFT_DOMAIN_MAX = 2**62
+
 
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> ray.data.Dataset:
     """TPC-H Q1 shape: filter + partial/final grouped aggregate.
@@ -702,7 +709,7 @@ def events_sliding_window(
             )
             span = int(ts.max()) - int(ts.min())
             offset = span + win_us + 1
-            if offset * (int(seg[-1]) + 1) < 2**62:  # overflow guard
+            if offset * (int(seg[-1]) + 1) < _SHIFT_DOMAIN_MAX:  # overflow guard
                 adj = ts + seg * offset
                 lo = np.searchsorted(adj, adj - win_us, side="left")
                 hi = np.searchsorted(adj, adj, side="right")
@@ -860,7 +867,7 @@ def purchase_attribution(
         cents = np.rint(part["value"].to_numpy() * 100.0).astype(np.int64)
         span = int(ts.max()) - int(ts.min())
         offset = span + win_us + 1
-        if offset * (int(seg[-1]) + 1) < 2**62:  # overflow guard
+        if offset * (int(seg[-1]) + 1) < _SHIFT_DOMAIN_MAX:  # overflow guard
             adj = ts + seg * offset
             radj = adj[~is_p]
             csum = np.concatenate([[0], np.cumsum(cents[~is_p])])

@@ -62,3 +62,54 @@ def test_purchase_attribution_window_edges(ray_session, tmp_path):
         }
     )
     pd.testing.assert_frame_equal(out, expected, check_dtype=False)
+
+
+def test_overflow_fallback_equals_vectorized(ray_session, tmp_path, monkeypatch):
+    """The per-segment overflow fallback (forced via _SHIFT_DOMAIN_MAX=0)
+    must agree row-for-row with the segment-offset vectorized branch,
+    for BOTH segment-offset consumers (purchase_attribution and
+    events_sliding_window). Closures capture the patched module global
+    at pipeline-build time, so the patch reaches Ray workers."""
+    from mhdb_tables2turtles_ray.pipelines import relational
+
+    rng = np.random.default_rng(7)
+    n = 400
+    users = rng.integers(1, 21, n).astype(np.int64)
+    secs = rng.integers(0, 86_400, n)
+    types = rng.choice(np.array(["purchase", "click", "view"]), n, p=[0.3, 0.4, 0.3])
+    vals = rng.integers(0, 10_000, n) / 100.0
+    table = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+            "ts": pa.array(
+                [_us(float(s)) for s in secs], pa.timestamp("us")
+            ),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    def run():
+        a = (
+            relational.purchase_attribution(str(tmp_path), window_seconds=3600)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        w = (
+            relational.events_sliding_window(str(tmp_path), window_seconds=3600)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        return a, w
+
+    a_vec, w_vec = run()
+    assert len(a_vec) and len(w_vec)
+    monkeypatch.setattr(relational, "_SHIFT_DOMAIN_MAX", 0)
+    a_fb, w_fb = run()
+    pd.testing.assert_frame_equal(a_vec, a_fb)
+    pd.testing.assert_frame_equal(w_vec, w_fb)
