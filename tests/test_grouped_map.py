@@ -174,3 +174,39 @@ def test_sorted_bucket_map_equals_grouped_map(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- bucket_map: the unsorted whole-bucket sibling ----------------------
+
+
+def test_bucket_map_group_integrity_and_equivalence(ray_session):
+    """bucket_map's fn sees whole groups only (never a split key), and a
+    bucket-wide EXISTS flag matches the per-group answer for any bucket
+    count."""
+    import ray.data
+
+    from mhdb_tables2turtles_ray.stages.grouped import bucket_map
+
+    items = [
+        {"k": i % 11, "tag": "hit" if i % 23 == 0 else "miss", "v": i}
+        for i in range(200)
+    ]
+    df = pd.DataFrame(items)
+    expect_flag = df.groupby("k")["tag"].apply(lambda s: bool((s == "hit").any()))
+
+    def flag(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy(deep=False)
+        hit_keys = part.loc[part["tag"].eq("hit"), "k"].unique()
+        part["flag"] = part["k"].isin(hit_keys)
+        return part
+
+    for num_buckets in (1, 4, 256):
+        ds = ray.data.from_items(items).repartition(3)
+        out = bucket_map(ds, "k", flag, num_buckets=num_buckets).to_pandas()
+        assert len(out) == len(df)
+        got = out.groupby("k")["flag"].agg(["all", "any"])
+        # every row of a key got the SAME flag (whole-group visibility)
+        assert (got["all"] == got["any"]).all()
+        assert {int(k): bool(v) for k, v in got["any"].items()} == {
+            int(k): bool(v) for k, v in expect_flag.items()
+        }
