@@ -28,6 +28,12 @@ import ray.data
 from ..functions.numeric import list_column_to_matrix, round_half_away
 from ..sources.tables import read_table
 
+# Flat-element budget for knn_graph's chunked in-cluster lexsort: caps
+# the three flat temporaries at ~4M elements per chunk regardless of
+# cluster size. Module-level so tests can force multi-chunk execution
+# (cloudpickle captures the patched value at pipeline-build time).
+_TOPK_CHUNK_ELEMS = 1 << 22
+
 
 def _query_block(sf_dir: str, num_queries: int):
     rows = (
@@ -805,21 +811,37 @@ def knn_graph(
         # self-pairs sort last (-inf) and are dropped by the finite mask
         cos[qids[:, None] == mids[None, :]] = -np.inf
         n_q, n_m = cos.shape
-        # ONE flat lexsort replaces the per-query loop: sort every
-        # (query, member) pair by (query row, cosine desc, member id
-        # asc) — stable, so ties break exactly like the per-row lexsort
-        flat_cos = cos.ravel()
-        order = np.lexsort(
-            (np.tile(mids, n_q), -flat_cos, np.repeat(np.arange(n_q), n_m))
-        )
-        # blocks are contiguous per query row, so in-row rank is mod n_m
-        keep = (np.arange(n_q * n_m) % n_m < k) & np.isfinite(flat_cos[order])
-        sel = order[keep]
-        picked = flat_cos[sel]
+        # A flat lexsort replaces the per-query loop: sort (query row,
+        # cosine desc, member id asc) — stable, so ties break exactly
+        # like a per-row lexsort. Chunked over query rows so the three
+        # flat int64/float64 temporaries stay ~4M elements regardless of
+        # cluster size (they'd otherwise triple the cos matrix's
+        # footprint per task); each chunk is still whole-column work.
+        per_chunk = max(1, _TOPK_CHUNK_ELEMS // max(n_m, 1))
+        out_q, out_v, out_c = [], [], []
+        for q0 in range(0, n_q, per_chunk):
+            q1 = min(q0 + per_chunk, n_q)
+            nq = q1 - q0
+            flat = cos[q0:q1].ravel()
+            tiled_mids = np.tile(mids, nq)
+            order = np.lexsort(
+                (tiled_mids, -flat, np.repeat(np.arange(nq), n_m))
+            )
+            # blocks stay contiguous per query row: in-row rank is mod n_m
+            keep = (np.arange(nq * n_m) % n_m < k) & np.isfinite(flat[order])
+            sel = order[keep]
+            out_q.append(qids[q0:q1][sel // n_m])
+            out_v.append(tiled_mids[sel])
+            out_c.append(flat[sel])
+        picked = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
         return pd.DataFrame(
             {
-                "query_id": qids[sel // n_m],
-                "neighbor_id": np.tile(mids, n_q)[sel],
+                "query_id": np.concatenate(out_q)
+                if out_q
+                else np.empty(0, np.int64),
+                "neighbor_id": np.concatenate(out_v)
+                if out_v
+                else np.empty(0, np.int64),
                 "cosine": picked,
                 # merge sort key (the final stage sorts ascending only)
                 "__neg_cos": -picked,

@@ -176,3 +176,16 @@ def test_knn_graph_memberless_cluster(ray_session):
     got = _graph_rows(knn_graph(ds=ds, k=3, n_clusters=3, nprobe=2))
     qs = {q for q, _, _, _ in got}
     assert len(qs) == len(ids)  # every vector produced neighbors
+
+
+def test_knn_graph_chunked_lexsort_equals_single_chunk(ray_session, monkeypatch):
+    """Forcing many tiny lexsort chunks (the bounded-memory path at real
+    cluster sizes) must reproduce the single-chunk exact graph bit for
+    bit — chunk size is a pure implementation detail."""
+    from mhdb_tables2turtles_ray.pipelines import similarity
+
+    want = sorted(_brute_force(5))
+    # 500 vectors in one cluster: n_m = 500, so 1000 elems → 2-row chunks
+    monkeypatch.setattr(similarity, "_TOPK_CHUNK_ELEMS", 1000)
+    got = _graph_rows(similarity.knn_graph(SF, k=5, n_clusters=1, nprobe=1))
+    assert got == want
