@@ -17,6 +17,9 @@ produced them.
   python tools/stress.py cap        # cap_per_stratum per-source quota
                                     # (closed-form survivor invariant;
                                     # exits nonzero if violated)
+  python tools/stress.py knn        # all-docs k-NN graph over replicated
+                                    # embeddings (closed-form same-base
+                                    # edge invariant; exits nonzero)
   --replicas 400 --sf-dir /root/testdata/sf0.1 --num-cpus 32
 """
 
@@ -227,6 +230,96 @@ def run_quantiles(sf_dir: str, replicas: int) -> dict:
     }
 
 
+def run_knn(sf_dir: str, replicas: int) -> dict:
+    """All-docs k-NN graph over the replicated embeddings table, with a
+    closed-form exactness invariant. Each base vector is replicated
+    `replicas`× with ids offset by rep × 1e6 — identical float bytes, so
+    every replica lands in the same IVF home cluster and each query's
+    true top-k are its own sibling replicas at cosine 1.0. Provided the
+    base table's max off-diagonal cosine rounds below 1.0 at 6 decimals
+    (checked) and k ≤ replicas − 1, the graph must contain EXACTLY
+    n × k edges, every edge same-base (neighbor ≡ query mod 1e6) at
+    cosine 1.0 — verified distributed (one count map, no driver edge
+    materialization). Exits nonzero on violation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from mhdb_tables2turtles_ray.pipelines.similarity import knn_graph
+
+    k = 5
+    if replicas < k + 1:
+        raise SystemExit("knn stress needs --replicas > k=5 for the invariant")
+
+    base = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n_base = base.num_rows
+    ids = base.column("vec_id").to_numpy()
+    emb = np.array(base.column("embedding").to_pylist(), dtype=np.float64)
+    if ids.max() >= 1_000_000 or len(np.unique(ids)) != n_base:
+        raise SystemExit(f"{sf_dir}: vec_ids unfit for the ×1e6 offset scheme")
+    # precondition of the closed form: no two DISTINCT base vectors may
+    # tie a replica's 1.0 cosine after the 6-decimal round
+    nrm = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    gram = nrm @ nrm.T
+    np.fill_diagonal(gram, -1.0)
+    if gram.max() >= 0.9999995:
+        raise SystemExit(
+            f"{sf_dir}: base vectors too parallel (max cos {gram.max():.8f})"
+            " — the same-base invariant does not apply to this corpus"
+        )
+    base_ref = ray.put({"vec_id": ids, "emb": emb})
+
+    def gen(batch):
+        b = ray.get(base_ref)
+        gids = batch["id"].astype(np.int64)
+        pos = (gids % n_base).astype(np.int64)
+        rep = gids // n_base
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    b["vec_id"][pos] + rep * 1_000_000, pa.int64()
+                ),
+                "embedding": pa.array(
+                    list(b["emb"][pos]), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    n_vecs = n_base * replicas
+    ds = ray.data.range(n_vecs, override_num_blocks=replicas).map_batches(
+        gen, batch_format="numpy"
+    )
+    t0 = time.time()
+    graph = knn_graph(k=k, n_clusters=64, nprobe=2, ds=ds)
+
+    def audit(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy()
+        nb = t.column("neighbor_id").to_numpy()
+        cos = t.column("cosine").to_numpy()
+        bad = int(((q % 1_000_000) != (nb % 1_000_000)).sum()) + int(
+            (cos != 1.0).sum()
+        )
+        return pa.table({"edges": [len(q)], "bad": [bad]})
+
+    tot = graph.map_batches(
+        audit, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().sum()
+    dt = time.time() - t0
+    n_edges, n_bad = int(tot["edges"]), int(tot["bad"])
+    return {
+        "sec": round(dt, 1),
+        "vecs_per_sec": round(n_vecs / dt),
+        "n_vectors": n_vecs,
+        "edges": n_edges,
+        "expected_edges": n_vecs * k,
+        "bad_edges": n_bad,
+        "exact": n_edges == n_vecs * k and n_bad == 0,
+    }
+
+
 def run_cap(sf_dir: str, replicas: int) -> dict:
     """Per-source cap over the replicated corpus. Source =
     doc_id % 20000; the replica offset (1e6) is a multiple of 20000, so
@@ -296,7 +389,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("which",
                     choices=["bpe", "curate", "curate_resume", "decontam",
-                             "quantiles", "cap"])
+                             "quantiles", "cap", "knn"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=400)
     ap.add_argument("--num-cpus", type=int, default=32)
@@ -322,6 +415,7 @@ def main() -> int:
         "decontam": run_decontam,
         "quantiles": run_quantiles,
         "cap": run_cap,
+        "knn": run_knn,
     }[args.which]
     out = fn(args.sf_dir, args.replicas)
     out["which"] = args.which
