@@ -69,20 +69,23 @@ _PAPER_TITLE = "Reseach study (research paper tilte)"  # sic — reference's typ
 
 
 def chills_lookups(tables: dict[str, pa.Table]) -> dict[str, dict[int, str]]:
-    """FK lookup bundle: {name: {index: value}} from the lookup sheets."""
-    out: dict[str, dict[int, str]] = {}
-    for name, sheet, col, trunc in _LOOKUPS:
-        table = tables[sheet]
-        d: dict[int, str] = {}
-        for k, v in zip(
-            table.column("index").to_pylist(), table.column(col).to_pylist()
-        ):
-            if k is None or not isinstance(v, str):
-                continue  # reference: isinstance(objectRDF, str) gate
-            if int(k) not in d:  # reference .values[0] takes the first
-                d[int(k)] = v[:trunc] if trunc else v
-        out[name] = d
-    return out
+    """FK lookup bundle: {name: {index: value}} from the lookup sheets.
+
+    One home for the reference's lookup semantics (the
+    ``isinstance(objectRDF, str)`` gate, first-key-wins ``.values[0]``,
+    the claims RAW slice): ``_LOOKUPS`` mapped onto
+    :func:`workbook.build_lookup_bundle` — a chills workbook missing a
+    lookup sheet/column gets that function's descriptive error instead
+    of a bare KeyError."""
+    from .workbook import build_lookup_bundle
+
+    return build_lookup_bundle(
+        tables,
+        [
+            {"name": n, "sheet": s, "key": "index", "value": c, "truncate": t}
+            for n, s, c, t in _LOOKUPS
+        ],
+    )
 
 
 def _entity_spec(name, column, rdf_type, literals=(), fks=()):
@@ -307,6 +310,19 @@ def chills_triples(
                 TripleEmitter(sheet_specs, lookups_ref, quarantine=quarantine),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
+            )
+        )
+    if not parts:
+        # a workbook with none of the chills spec sheets (or all empty)
+        # is a usable no-op, not an IndexError — same contract as
+        # workbook.workbook_triples
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                }
             )
         )
     out = parts[0]

@@ -115,7 +115,10 @@ def curate_corpus(
     surviving doc-id generation is persisted there
     (``state/funnel.FunnelCheckpoint`` — per-partition atomic parquet
     + a done-marker per stage, parameters pinned in
-    ``_funnel_meta.json``; mismatched parameters raise). A rerun
+    ``_funnel_meta.json``; mismatched parameters raise, and so does a
+    resume whose input row count differs from the one the checkpoint
+    was created over — same-size different-content corpora remain the
+    caller's responsibility, as with any checkpoint store). A rerun
     resumes AFTER the last completed stage: completed stages' counts
     come from their markers, the needed text-bearing boundary is
     rebuilt as one exact semi-join of the input against the
@@ -230,6 +233,24 @@ def curate_corpus(
     if "after_quality_lang" in resumed:
         info = ckpt.marker_info(stage_plan, "after_quality_lang")
         n_input, n_filtered = info["n_input"], info["n"]
+        # input guard: the marker pinned the corpus size at creation —
+        # resuming a checkpoint_dir against a DIFFERENT corpus must
+        # refuse loudly instead of silently returning the old run's
+        # survivors (params alone cannot catch this). count() is
+        # metadata-only on the parquet path; a caller-supplied derived
+        # Dataset pays one execution — far below any funnel stage, and
+        # the stages' purity promise is "(input, params)", so the input
+        # half needs SOME pin. Same-size different-content corpora are
+        # the caller's responsibility (documented), as with any
+        # checkpoint store.
+        n_actual = ds.count()
+        if n_actual != n_input:
+            raise ValueError(
+                f"funnel checkpoint input mismatch: {checkpoint_dir!r} "
+                f"was created over a {n_input}-row corpus, resume got "
+                f"{n_actual} rows — use a fresh checkpoint_dir for a "
+                "different corpus"
+            )
         filtered = None  # rebuilt lazily only if a pre-dedup stage pends
     else:
         # count without materializing: for the parquet path this is a
@@ -300,6 +321,11 @@ def curate_corpus(
             # many rows survived — callers read after_decontam whenever
             # they passed a test set
             summary["after_decontam"] = 0
+        if ckpt is not None:
+            # same contract as the main path: checkpointed runs always
+            # report what was resumed (stress/CLI consumers read the
+            # key unconditionally)
+            summary["resumed_stages"] = list(resumed)
         return empty, summary
 
     n_length_cut = None
@@ -504,7 +530,16 @@ def curate_corpus(
         n_near = int(survivors.count())
         summary["after_near_dedup"] = n_near
         if ckpt is not None:
-            ckpt.save(stage_plan, "after_near_dedup", survivors, n_near)
+            # id-only generation, like every earlier stage: a corpus-
+            # sized text column in the checkpoint would turn the 31-MB-
+            # per-partition id files the sizing comment promises into an
+            # extra corpus copy of I/O at scale
+            ckpt.save(
+                stage_plan,
+                "after_near_dedup",
+                survivors.select_columns(["doc_id"]),
+                n_near,
+            )
 
     def _need_survivors():
         nonlocal survivors
@@ -545,7 +580,12 @@ def curate_corpus(
         n_sem = int(survivors.count())
         summary["after_semantic_dedup"] = n_sem
         if ckpt is not None:
-            ckpt.save(stage_plan, "after_semantic_dedup", survivors, n_sem)
+            ckpt.save(
+                stage_plan,
+                "after_semantic_dedup",
+                survivors.select_columns(["doc_id"]),
+                n_sem,
+            )
 
     if decontam_test_ds is not None and "after_decontam" in resumed:
         summary["after_decontam"] = ckpt.marker_info(
@@ -572,11 +612,18 @@ def curate_corpus(
         n_dec = int(survivors.count())
         summary["after_decontam"] = n_dec
         if ckpt is not None:
-            ckpt.save(stage_plan, "after_decontam", survivors, n_dec)
+            ckpt.save(
+                stage_plan,
+                "after_decontam",
+                survivors.select_columns(["doc_id"]),
+                n_dec,
+            )
 
-    return (
-        survivors if survivors is not None else _need_survivors()
-    ), summary
+    final = survivors if survivors is not None else _need_survivors()
+    # the documented return shape is a (doc_id) Dataset — normalize so
+    # fresh runs (full rows off the dedup anti-join) and resumed runs
+    # (id-only checkpoint generations) present the same schema
+    return final.select_columns(["doc_id"]), summary
 
 
 def prepare_training_data(

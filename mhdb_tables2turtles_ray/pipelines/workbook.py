@@ -72,7 +72,21 @@ def build_lookup_bundle(
     wins — ``.values[0]`` semantics)."""
     out: dict[str, dict[int, str]] = {}
     for lk in lookup_defs:
+        # config-vs-workbook validation happens HERE (the config loader
+        # can only check the def's own fields): a missing sheet or
+        # column must name the lookup def, not die as a bare KeyError
+        if lk["sheet"] not in tables:
+            raise ValueError(
+                f"lookup {lk['name']!r}: workbook has no sheet "
+                f"{lk['sheet']!r} (have {sorted(tables)})"
+            )
         table = tables[lk["sheet"]]
+        for field in ("key", "value"):
+            if lk[field] not in table.column_names:
+                raise ValueError(
+                    f"lookup {lk['name']!r}: sheet {lk['sheet']!r} has "
+                    f"no column {lk[field]!r} (have {table.column_names})"
+                )
         trunc = lk.get("truncate")
         d: dict[int, str] = {}
         for k, v in zip(

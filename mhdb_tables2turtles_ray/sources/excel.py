@@ -100,6 +100,16 @@ def _cell_value(cell, shared: list[str]):
         return v.text
     if t == "b":
         return bool(int(v.text))
+    if t == "e":
+        # formula error cells (#N/A, #DIV/0!, …) store the error STRING
+        # in <v>; surface it as text like openpyxl/pandas do — a real
+        # workbook with one bad formula must not abort the whole build
+        # on float("#N/A")
+        return v.text
+    if t == "d":
+        # ISO-8601 date cells (rare; most producers store serial
+        # numbers) — keep the literal string
+        return v.text
     # numeric
     f = float(v.text)
     return int(f) if f.is_integer() else f
@@ -189,8 +199,16 @@ def read_excel_workbook(path: str) -> dict[str, pa.Table]:
                 raw = header[i] if i < len(header) else None
                 col = str(raw) if raw is not None else f"Unnamed: {i}"
                 if col in seen:
-                    seen[col] += 1
-                    col = f"{col}.{seen[col]}"
+                    # pandas-style mangling RECURSES until unique: a
+                    # header ["x", "x.1", "x"] must yield x, x.1, x.2 —
+                    # a single-step suffix would mint a second "x.1" and
+                    # pa.table(dict(...)) would silently drop a column
+                    mangled = col
+                    while mangled in seen:
+                        seen[col] += 1
+                        mangled = f"{col}.{seen[col]}"
+                    seen[mangled] = 0
+                    col = mangled
                 else:
                     seen[col] = 0
                 names.append(col)

@@ -140,10 +140,17 @@ class Literal:
                 # int(publication_year), mhdb/ingest.py:3446) — a float
                 # cell (pandas/xlsx numeric column) must not render
                 # '2018.0'
+                # int cells and integer strings stay on the lossless
+                # int path — round-tripping through float64 would
+                # corrupt xsd:int values above 2^53; the float path
+                # only serves genuinely float-typed cells ('2018.0')
                 try:
-                    part = int(float(part))
+                    part = int(part)
                 except (TypeError, ValueError):
-                    pass
+                    try:
+                        part = int(float(part))
+                    except (TypeError, ValueError):
+                        pass
             if self.kind == "lang":
                 out.append(language_string(part, self.lang))
             elif self.kind == "iri":

@@ -24,6 +24,19 @@ import pandas as pd
 _BUCKET = "__coarse_bucket"
 
 
+def _with_bucket(df: pd.DataFrame, key: str, num_buckets: int) -> pd.DataFrame:
+    """Attach the coarse bucket column. ONE home for the bucket-hash
+    rule: every stage in this module relies on the hash being the same
+    pure function of ``key`` everywhere, so it must not be re-stated
+    per stage (a drift in one copy would silently split fine groups
+    across buckets for that stage only)."""
+    df = df.copy(deep=False)
+    df[_BUCKET] = (
+        pd.util.hash_array(df[key].to_numpy()) % np.uint64(num_buckets)
+    ).astype(np.int64)
+    return df
+
+
 def grouped_map(
     ds,
     key: str,
@@ -46,11 +59,7 @@ def grouped_map(
     """
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df[_BUCKET] = (
-            pd.util.hash_array(df[key].to_numpy()) % np.uint64(num_buckets)
-        ).astype(np.int64)
-        return df
+        return _with_bucket(df, key, num_buckets)
 
     def run_bucket(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop(columns=[_BUCKET])
@@ -86,11 +95,7 @@ def sorted_bucket_map(
     stable sort gives ``bucket_fn`` a deterministic row order."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df[_BUCKET] = (
-            pd.util.hash_array(df[key].to_numpy()) % np.uint64(num_buckets)
-        ).astype(np.int64)
-        return df
+        return _with_bucket(df, key, num_buckets)
 
     def run_bucket(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop(columns=[_BUCKET])
@@ -122,11 +127,7 @@ def bucket_map(
     zero sorts."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df[_BUCKET] = (
-            pd.util.hash_array(df[key].to_numpy()) % np.uint64(num_buckets)
-        ).astype(np.int64)
-        return df
+        return _with_bucket(df, key, num_buckets)
 
     def run_bucket(part: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(part.drop(columns=[_BUCKET]))

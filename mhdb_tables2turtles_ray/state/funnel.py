@@ -9,7 +9,11 @@ that write) plus a ``_stage_done.json`` marker written only after the
 whole generation is on disk. The funnel's parameters are pinned in
 ``_funnel_meta.json`` at creation — resuming with different parameters
 raises instead of silently mixing generations (the same pinned-params
-rule as the dedup index's ``_index_meta.json``).
+rule as the dedup index's ``_index_meta.json``). The INPUT half of the
+purity contract is pinned too: the first stage's marker records the
+corpus row count, and ``curate_corpus`` refuses a resume whose input
+count differs (a checkpoint_dir pointed at a different corpus must not
+return the old run's survivors).
 
 Correctness of resume: the curation stages are deterministic pure
 functions of (input, params) — md5 keeper rules, seeded LSH,

@@ -779,3 +779,54 @@ def test_funnel_checkpoint_resume_with_decontam(ray_session, tmp_path):
     ]
     assert ids2 == ids0
     assert sum2["after_decontam"] == sum0["after_decontam"]
+
+
+def test_funnel_checkpoint_input_guard_and_id_only_generations(
+    ray_session, tmp_path
+):
+    """Round-5 review fixes: (1) resuming a checkpoint_dir against a
+    corpus of a different size refuses loudly instead of returning the
+    old run's survivors; (2) every checkpointed generation is id-only
+    (a text column there would be a corpus-sized checkpoint at scale);
+    (3) the returned survivors Dataset is the documented (doc_id) shape."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    import ray.data
+
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+    from mhdb_tables2turtles_ray.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ckpt = str(tmp_path / "guard_ckpt")
+    survivors, _ = curate_corpus(sf, checkpoint_dir=ckpt)
+    assert survivors.schema().names == ["doc_id"]
+
+    # every persisted generation carries ONLY doc_id
+    for part in glob.glob(f"{ckpt}/*/part-*.parquet"):
+        assert pq.read_schema(part).names == ["doc_id"], part
+
+    # same params, truncated corpus -> input-mismatch refusal
+    truncated = read_table(sf, "documents", columns=["doc_id", "text"]).limit(
+        100
+    )
+    with _pytest.raises(ValueError, match="input mismatch"):
+        curate_corpus(None, ds=truncated, checkpoint_dir=ckpt)
+
+
+def test_funnel_checkpoint_empty_corpus_reports_resumed_stages(
+    ray_session, tmp_path
+):
+    """The all-dropped short-circuit must honor the checkpointed-run
+    contract (summary carries resumed_stages) — stress/CLI consumers
+    read the key unconditionally."""
+    from mhdb_tables2turtles_ray.pipelines.curate import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    ckpt = str(tmp_path / "empty_ckpt")
+    _, s1 = curate_corpus(sf, min_tokens=10**9, checkpoint_dir=ckpt)
+    assert s1["after_quality_lang"] == 0
+    assert s1["resumed_stages"] == []
+    _, s2 = curate_corpus(sf, min_tokens=10**9, checkpoint_dir=ckpt)
+    assert s2["resumed_stages"] == ["after_quality_lang"]

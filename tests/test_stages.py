@@ -250,3 +250,16 @@ def test_mention_scanner(ray_session):
                 expect[k] = (n, n / len(toks))
     assert got == expect
     assert ("b", "Python") not in got and not any(d == "d" for d, _ in got)
+
+
+def test_literal_int_kinds_lossless_above_2_53():
+    """xsd:int / xsd:nonNegativeInteger cells must not round-trip
+    through float64: 2^53 + 1 renders exactly (round-5 review fix).
+    Integer STRINGS take the lossless path too; float cells and float
+    strings still truncate like the reference's int()."""
+    big = (1 << 53) + 1  # 9007199254740993; float64 rounds it to ...992
+    lit = Literal(column="n", predicate=":hasN", kind="xsd:int")
+    assert lit.render(big) == [f'"{big}"^^xsd:int']
+    assert lit.render(str(big)) == [f'"{big}"^^xsd:int']
+    assert lit.render(2018.0) == ['"2018"^^xsd:int']
+    assert lit.render("2018.0") == ['"2018"^^xsd:int']
