@@ -20,6 +20,13 @@ produced them.
   python tools/stress.py knn        # all-docs k-NN graph over replicated
                                     # embeddings (closed-form same-base
                                     # edge invariant; exits nonzero)
+  python tools/stress.py spans      # substring dup-span strip (replicas
+                                    # duplicate every window -> closed-
+                                    # form full-strip invariant)
+  python tools/stress.py incdedup   # incremental dedup vs a persisted
+                                    # index: fresh index -> n_base
+                                    # survivors, all-dup Bloom-path
+                                    # increment -> exactly 0
   --replicas 400 --sf-dir /root/testdata/sf0.1 --num-cpus 32
 """
 
@@ -230,6 +237,162 @@ def run_quantiles(sf_dir: str, replicas: int) -> dict:
     }
 
 
+def run_incdedup(sf_dir: str, replicas: int) -> dict:
+    """Incremental exact dedup against a persisted index, with
+    closed-form invariants at every step. Increment 1 (the replicated
+    corpus) hits a FRESH index: within-batch dedup must keep exactly
+    one survivor per DISTINCT base text (replicas share their base
+    doc's md5, and the base corpus itself carries a few exact dups —
+    the expected count is the base table's distinct-digest count,
+    computed on the driver from the 5,000-row base). Increment 2 (the same corpus re-replicated under fresh ids)
+    probes the now-populated index through the BLOOM path
+    (exact_threshold=0 forces it): every doc is genuinely indexed, and
+    a Bloom filter has no false negatives, so survivors must be
+    EXACTLY 0 — deterministic, no fpp caveat (false positives only
+    ever drop new docs, and there are none). Exits nonzero on
+    violation."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray
+
+    from mhdb_tables2turtles_ray.pipelines.dedup import incremental_exact_dedup
+
+    import hashlib as _hashlib
+
+    import pyarrow.parquet as pq
+
+    index_dir = tempfile.mkdtemp(prefix="incdedup_ix_", dir="/tmp")
+    try:
+        base_texts = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        ).column("text").to_pylist()
+        n_distinct = len(
+            {_hashlib.md5((x or "").encode()).hexdigest() for x in base_texts}
+        )
+        ds1, n_docs = replicated_documents(sf_dir, replicas)
+        t0 = time.time()
+        surv1 = incremental_exact_dedup(None, index_dir, ds=ds1)
+        n1 = surv1.count()
+        t_first = time.time() - t0
+
+        # fresh ids far above increment 1's id space
+        off = (replicas + 1) * 1_000_000
+
+        def shift(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array(t.column("doc_id").to_numpy() + off, pa.int64()),
+            )
+
+        ds2, _ = replicated_documents(sf_dir, replicas)
+        ds2 = ds2.map_batches(shift, batch_format="pyarrow", zero_copy_batch=True)
+        t1 = time.time()
+        surv2 = incremental_exact_dedup(
+            None, index_dir, ds=ds2, exact_threshold=0
+        )
+        n2 = surv2.count()
+        t_second = time.time() - t1
+        return {
+            "sec_first": round(t_first, 1),
+            "sec_second_bloom": round(t_second, 1),
+            "docs_per_sec_first": round(n_docs / t_first),
+            "docs_per_sec_second": round(n_docs / t_second),
+            "survivors_first": int(n1),
+            "expected_first": int(n_distinct),
+            "survivors_second": int(n2),
+            "expected_second": 0,
+            "exact": int(n1) == n_distinct and int(n2) == 0,
+        }
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def run_spans(sf_dir: str, replicas: int) -> dict:
+    """Substring (dup-span) dedup over the replicated corpus, with a
+    closed-form exactness invariant. Every replica is an exact copy of
+    its base doc, so EVERY `window`-token window occurs >= replicas >=
+    min_count times — strip_duplicate_spans must therefore cut a doc
+    with >= window tokens to "" (n_tokens_removed = its full token
+    count) and leave a doc with < window tokens untouched (no window
+    exists). Verified per-row, distributed (one audit map; the corpus
+    never materializes on the driver). Exits nonzero on violation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from mhdb_tables2turtles_ray.pipelines.dedup import strip_duplicate_spans
+
+    window = 16
+    if replicas < 2:
+        raise SystemExit("spans stress needs --replicas >= 2 (= min_count)")
+    base = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = base.column("doc_id").to_numpy()
+    toks = np.array(
+        [len((t or "").split()) for t in base.column("text").to_pylist()],
+        dtype=np.int64,
+    )
+    order = np.argsort(ids)
+    base_ref = ray.put({"ids": ids[order], "toks": toks[order]})
+
+    ds, n_docs = replicated_documents(sf_dir, replicas)
+    t0 = time.time()
+    stripped = strip_duplicate_spans(None, window=window, ds=ds)
+
+    def audit(t: pa.Table) -> pa.Table:
+        b = ray.get(base_ref)
+        did = t.column("doc_id").to_numpy() % 1_000_000
+        exp = b["toks"][np.searchsorted(b["ids"], did)]
+        out_tok = np.array(
+            [len((s or "").split()) for s in t.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        rem = t.column("n_tokens_removed").to_numpy()
+        strip = exp >= window
+        bad = int(
+            (
+                (strip & ((out_tok != 0) | (rem != exp)))
+                | (~strip & ((out_tok != exp) | (rem != 0)))
+            ).sum()
+        )
+        return pa.table(
+            {
+                "rows": [len(did)],
+                "bad": [bad],
+                "removed": [int(rem.sum())],
+                "out_tok": [int(out_tok.sum())],
+            }
+        )
+
+    tot = stripped.map_batches(
+        audit, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().sum()
+    dt = time.time() - t0
+    exp_removed = int(toks[toks >= window].sum()) * replicas
+    exp_out = int(toks[toks < window].sum()) * replicas
+    return {
+        "sec": round(dt, 1),
+        "docs_per_sec": round(n_docs / dt),
+        "rows": int(tot["rows"]),
+        "bad_rows": int(tot["bad"]),
+        "tokens_removed": int(tot["removed"]),
+        "expected_removed": exp_removed,
+        "tokens_out": int(tot["out_tok"]),
+        "expected_out": exp_out,
+        "exact": (
+            int(tot["bad"]) == 0
+            and int(tot["rows"]) == n_docs
+            and int(tot["removed"]) == exp_removed
+            and int(tot["out_tok"]) == exp_out
+        ),
+    }
+
+
 def run_knn(sf_dir: str, replicas: int) -> dict:
     """All-docs k-NN graph over the replicated embeddings table, with a
     closed-form exactness invariant. Each base vector is replicated
@@ -389,7 +552,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("which",
                     choices=["bpe", "curate", "curate_resume", "decontam",
-                             "quantiles", "cap", "knn"])
+                             "quantiles", "cap", "knn", "spans",
+                             "incdedup"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=400)
     ap.add_argument("--num-cpus", type=int, default=32)
@@ -416,6 +580,8 @@ def main() -> int:
         "quantiles": run_quantiles,
         "cap": run_cap,
         "knn": run_knn,
+        "spans": run_spans,
+        "incdedup": run_incdedup,
     }[args.which]
     out = fn(args.sf_dir, args.replicas)
     out["which"] = args.which
