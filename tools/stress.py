@@ -325,6 +325,7 @@ def run_spans(sf_dir: str, replicas: int) -> dict:
     import ray
 
     from mhdb_tables2turtles_ray.pipelines.dedup import strip_duplicate_spans
+    from mhdb_tables2turtles_ray.pipelines.text import whitespace_token_count
 
     window = 16
     if replicas < 2:
@@ -333,10 +334,10 @@ def run_spans(sf_dir: str, replicas: int) -> dict:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     ids = base.column("doc_id").to_numpy()
-    toks = np.array(
-        [len((t or "").split()) for t in base.column("text").to_pylist()],
-        dtype=np.int64,
-    )
+    # the engine's OWN count kernel on both sides of the invariant —
+    # tokenizer parity by construction, and vectorized (the audit is
+    # half the harness wall time; a Python split() loop here doubled it)
+    toks = whitespace_token_count(base.column("text"))
     order = np.argsort(ids)
     base_ref = ray.put({"ids": ids[order], "toks": toks[order]})
 
@@ -348,10 +349,7 @@ def run_spans(sf_dir: str, replicas: int) -> dict:
         b = ray.get(base_ref)
         did = t.column("doc_id").to_numpy() % 1_000_000
         exp = b["toks"][np.searchsorted(b["ids"], did)]
-        out_tok = np.array(
-            [len((s or "").split()) for s in t.column("text").to_pylist()],
-            dtype=np.int64,
-        )
+        out_tok = whitespace_token_count(t.column("text"))
         rem = t.column("n_tokens_removed").to_numpy()
         strip = exp >= window
         bad = int(
