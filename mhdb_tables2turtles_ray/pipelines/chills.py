@@ -312,23 +312,11 @@ def chills_triples(
                 zero_copy_batch=True,
             )
         )
-    if not parts:
-        # a workbook with none of the chills spec sheets (or all empty)
-        # is a usable no-op, not an IndexError — same contract as
-        # workbook.workbook_triples
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "subj": pa.array([], pa.string()),
-                    "pred": pa.array([], pa.string()),
-                    "obj": pa.array([], pa.string()),
-                }
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+    from .workbook import union_or_empty
+
+    # a workbook with none of the chills spec sheets (or all empty) is
+    # a usable no-op, not an IndexError — the ONE shared contract
+    return union_or_empty(parts)
 
 
 def build_chills(

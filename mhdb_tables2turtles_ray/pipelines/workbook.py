@@ -101,6 +101,28 @@ def build_lookup_bundle(
     return out
 
 
+def union_or_empty(parts: list) -> ray.data.Dataset:
+    """Union a list of (subj, pred, obj) emission streams; an empty
+    list is a usable empty-triples Dataset (ONE home for the empty
+    schema + union fold — the chills and generic builders must share
+    the same contract or their empty/union behavior silently
+    diverges)."""
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                }
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def workbook_triples(
     tables: dict[str, pa.Table],
     specs,
@@ -132,20 +154,7 @@ def workbook_triples(
                 zero_copy_batch=True,
             )
         )
-    if not parts:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "subj": pa.array([], pa.string()),
-                    "pred": pa.array([], pa.string()),
-                    "obj": pa.array([], pa.string()),
-                }
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+    return union_or_empty(parts)
 
 
 def build_workbook(

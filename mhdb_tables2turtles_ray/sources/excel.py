@@ -102,10 +102,12 @@ def _cell_value(cell, shared: list[str]):
         return bool(int(v.text))
     if t == "e":
         # formula error cells (#N/A, #DIV/0!, …) store the error STRING
-        # in <v>; surface it as text like openpyxl/pandas do — a real
-        # workbook with one bad formula must not abort the whole build
-        # on float("#N/A")
-        return v.text
+        # in <v>. pandas' excel parse (the semantics this module
+        # documents itself as mirroring) converts them to NaN, so the
+        # reference pipeline DROPS them — return null for parity (and a
+        # real workbook with one bad formula must not abort the whole
+        # build on float("#N/A") either way)
+        return None
     if t == "d":
         # ISO-8601 date cells (rare; most producers store serial
         # numbers) — keep the literal string
@@ -178,8 +180,10 @@ def read_excel_workbook(path: str) -> dict[str, pa.Table]:
     Header tolerance mirrors the reference's pandas parse: unnamed
     header cells get positional ``Unnamed: N`` names; fully-empty
     trailing columns are kept only if headed. Duplicate header names
-    get ``.1``/``.2`` suffixes (pandas' mangling) so no data column is
-    silently dropped.
+    are renamed with pandas' exact ``dedup_names`` algorithm (``.1``
+    suffixes chaining onto already-suffixed names on collision) so no
+    data column is silently dropped and configs written against a
+    pandas parse of the same workbook resolve identically.
     """
     tables: dict[str, pa.Table] = {}
     with zipfile.ZipFile(path) as zf:
@@ -198,19 +202,19 @@ def read_excel_workbook(path: str) -> dict[str, pa.Table]:
             for i in range(n_cols):
                 raw = header[i] if i < len(header) else None
                 col = str(raw) if raw is not None else f"Unnamed: {i}"
-                if col in seen:
-                    # pandas-style mangling RECURSES until unique: a
-                    # header ["x", "x.1", "x"] must yield x, x.1, x.2 —
-                    # a single-step suffix would mint a second "x.1" and
-                    # pa.table(dict(...)) would silently drop a column
-                    mangled = col
-                    while mangled in seen:
-                        seen[col] += 1
-                        mangled = f"{col}.{seen[col]}"
-                    seen[mangled] = 0
-                    col = mangled
-                else:
-                    seen[col] = 0
+                # pandas' dedup_names algorithm EXACTLY (a config/spec
+                # written against the reference's pandas-parsed column
+                # names must resolve identically): on collision the
+                # suffix chains onto the already-suffixed name, so
+                # ["x", "x.1", "x"] yields x, x.1, x.1.1 — and never a
+                # second "x.1" that pa.table(dict(...)) would silently
+                # drop
+                cur = seen.get(col, 0)
+                while cur > 0:
+                    seen[col] = cur + 1
+                    col = f"{col}.{cur}"
+                    cur = seen.get(col, 0)
+                seen[col] = cur + 1
                 names.append(col)
             columns = []
             for i in range(n_cols):

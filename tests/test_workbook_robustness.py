@@ -23,14 +23,15 @@ def _cell(xml: str):
     return ET.fromstring(xml.replace("<c ", f'<c xmlns="{_NS}" ', 1))
 
 
-def test_error_and_date_cells_surface_as_text():
+def test_error_and_date_cells():
     """A formula error (#N/A, #DIV/0!) is stored as <c t="e"> with the
-    error STRING in <v>; an ISO-date cell uses t="d". Both must come
-    back as text (openpyxl/pandas behavior), not crash float()."""
-    assert _cell_value(_cell('<c r="A1" t="e"><v>#N/A</v></c>'), []) == "#N/A"
+    error STRING in <v>: pandas' excel parse converts these to NaN, so
+    they must come back NULL (reference parity — the reference's
+    fillna/exclude machinery then drops them), never crash float().
+    An ISO-date cell (t="d") keeps its literal string."""
+    assert _cell_value(_cell('<c r="A1" t="e"><v>#N/A</v></c>'), []) is None
     assert (
-        _cell_value(_cell('<c r="B2" t="e"><v>#DIV/0!</v></c>'), [])
-        == "#DIV/0!"
+        _cell_value(_cell('<c r="B2" t="e"><v>#DIV/0!</v></c>'), []) is None
     )
     assert (
         _cell_value(_cell('<c r="C3" t="d"><v>2018-01-02</v></c>'), [])
@@ -40,15 +41,28 @@ def test_error_and_date_cells_surface_as_text():
     assert _cell_value(_cell('<c r="D4"><v>2018</v></c>'), []) == 2018
 
 
-def test_duplicate_headers_mangle_recursively(tmp_path):
-    """["x", "x.1", "x"] must yield x, x.1, x.2 (pandas' recursive
-    mangling) — a single-step suffix would mint a second "x.1" and
-    silently drop a data column."""
+def test_duplicate_headers_match_pandas_dedup_names(tmp_path):
+    """["x", "x.1", "x"] must yield x, x.1, x.1.1 — pandas'
+    dedup_names chains the suffix onto the already-suffixed name on
+    collision (verified against the installed pandas), so configs
+    written against a pandas parse of the same workbook resolve
+    identically; a naive suffix would mint a second "x.1" and silently
+    drop a data column."""
+    try:
+        from pandas.io.common import dedup_names
+
+        expect = list(
+            dedup_names(["x", "x.1", "x"], is_potential_multiindex=False)
+        )
+    except ImportError:  # private API moved — fall back to the pin
+        expect = ["x", "x.1", "x.1.1"]
+    assert expect == ["x", "x.1", "x.1.1"]
+
     path = str(tmp_path / "dup.xlsx")
     df = pd.DataFrame([["a", "b", "c"]], columns=["x", "x.1", "x"])
     write_xlsx({"S": df}, path)
     t = read_excel_workbook(path)["S"]
-    assert t.column_names == ["x", "x.1", "x.2"]
+    assert t.column_names == expect
     assert [c.to_pylist() for c in t.columns] == [["a"], ["b"], ["c"]]
 
 

@@ -251,17 +251,14 @@ def run_incdedup(sf_dir: str, replicas: int) -> dict:
     EXACTLY 0 — deterministic, no fpp caveat (false positives only
     ever drop new docs, and there are none). Exits nonzero on
     violation."""
+    import hashlib as _hashlib
     import shutil
     import tempfile
 
     import pyarrow as pa
-    import ray
+    import pyarrow.parquet as pq
 
     from mhdb_tables2turtles_ray.pipelines.dedup import incremental_exact_dedup
-
-    import hashlib as _hashlib
-
-    import pyarrow.parquet as pq
 
     index_dir = tempfile.mkdtemp(prefix="incdedup_ix_", dir="/tmp")
     try:
